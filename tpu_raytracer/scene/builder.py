@@ -1,0 +1,280 @@
+"""SceneBuilder: the user-facing scene-definition API.
+
+Shape-compatible with the reference's fluent builder
+(src/scene/builder.rs:23-589): `add_mesh` / `add_material` / `add_instance`
+/ `register_quad_light` / `register_sphere_light` / `add_*_texture` /
+`build()`.  Where the reference's `build` uploads GPU buffers and asks the
+driver for TLAS/BLAS builds (builder.rs:143-179,454-468), this one compiles
+the scene TPU-natively:
+
+  * instances' triangles are transformed to world space into one flat soup
+    (per-triangle instance/prim metadata preserves the reference's
+    `(mesh_id << 16) | mat_id` custom-data semantics, builder.rs:181-189),
+  * a unified-stream BVH is built over the soup (ops/bvh.py) - the explicit
+    replacement for the driver's opaque TLAS+BLAS,
+  * object-space triangles + per-instance affines are kept so per-frame
+    instance motion only needs a vectorized re-transform + device-side box
+    refit, mirroring TLAS update semantics,
+  * materials/lights become SoA tables, textures become bf16 arrays with
+    sRGB pre-decoded to linear (the reference samples Rgba8UnormSrgb
+    hardware-decoded, builder.rs:489).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import bvh as bvh_ops
+from ..utils import math3d
+from . import light as light_mod
+from .geometry import Mesh
+from .material import Material, pack_materials
+from .resources import CompiledScene
+
+TEXTURE_SIZE = 1024  # reference: scene/mod.rs TEXTURE_WIDTH/HEIGHT = 1024
+
+
+def _srgb_to_linear(x: np.ndarray) -> np.ndarray:
+    """Exact piecewise sRGB EOTF (matches hardware Rgba8UnormSrgb decode)."""
+    x = x.astype(np.float32) / 255.0
+    return np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+def _prep_texture(img: np.ndarray, srgb: bool) -> np.ndarray:
+    """To [TEXTURE_SIZE, TEXTURE_SIZE, 3] float32 (linear)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    img = img[:, :, :3]
+    if img.dtype == np.uint8:
+        img = _srgb_to_linear(img) if srgb else img.astype(np.float32) / 255.0
+    else:
+        img = img.astype(np.float32)
+    if img.shape[0] != TEXTURE_SIZE or img.shape[1] != TEXTURE_SIZE:
+        # Lanczos resize to the fixed array size (loader.rs:20-57 policy).
+        from PIL import Image
+
+        pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        pil = pil.resize((TEXTURE_SIZE, TEXTURE_SIZE), Image.LANCZOS)
+        img = np.asarray(pil).astype(np.float32) / 255.0
+    return img
+
+
+def _default_color_textures() -> list:
+    """builder.rs:41-75: 0 = white, 1 = 64-px checker, 2 = black."""
+    s = TEXTURE_SIZE
+    white = np.ones((s, s, 3), np.float32)
+    yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    check = (((xx // 64) + (yy // 64)) % 2 == 0).astype(np.float32)
+    checker = np.repeat(check[:, :, None], 3, axis=2)
+    black = np.zeros((s, s, 3), np.float32)
+    return [white, checker, black]
+
+
+def _default_data_textures() -> list:
+    """builder.rs:77-91: 0 = white, 1 = flat normal, 2 = black (linear)."""
+    s = TEXTURE_SIZE
+    white = np.ones((s, s, 3), np.float32)
+    flat_normal = np.tile(
+        np.array([128 / 255.0, 128 / 255.0, 1.0], np.float32), (s, s, 1)
+    )
+    black = np.zeros((s, s, 3), np.float32)
+    return [white, flat_normal, black]
+
+
+class SceneBuilder:
+    def __init__(self):
+        self.meshes: list[Mesh] = []
+        self.materials: list[Material] = []
+        self.instances: list[tuple] = []  # (mesh_id, mat_id, transform 4x4)
+        self.lights: list = []
+        self.color_textures: list[np.ndarray] = _default_color_textures()
+        self.data_textures: list[np.ndarray] = _default_data_textures()
+
+    # ---------------- registration API (builder.rs parity) ----------------
+
+    def add_mesh(self, mesh: Mesh) -> int:
+        self.meshes.append(mesh)
+        return len(self.meshes) - 1
+
+    def add_material(self, mat: Material) -> int:
+        self.materials.append(mat)
+        return len(self.materials) - 1
+
+    def add_instance(self, mesh_id: int, mat_id: int, transform: np.ndarray,
+                     mask: int = 0x1) -> int:
+        # mask accepted for API parity; the reference always traces 0xFF
+        # (builder.rs:187), so it has no render-time effect there either.
+        self.instances.append((mesh_id, mat_id, np.asarray(transform, np.float32)))
+        return len(self.instances) - 1
+
+    def add_color_texture(self, img: np.ndarray, srgb: bool = True) -> int:
+        self.color_textures.append(_prep_texture(img, srgb=srgb))
+        return len(self.color_textures) - 1
+
+    def add_data_texture(self, img: np.ndarray) -> int:
+        self.data_textures.append(_prep_texture(img, srgb=False))
+        return len(self.data_textures) - 1
+
+    def add_quad_light(self, position, u, v, emission) -> int:
+        self.lights.append(light_mod.make_quad_light(position, u, v, emission))
+        return len(self.lights) - 1
+
+    def add_sphere_light(self, center, radius, emission) -> int:
+        self.lights.append(light_mod.make_sphere_light(center, radius, emission))
+        return len(self.lights) - 1
+
+    def register_quad_light(self, mesh_id: int, transform: np.ndarray,
+                            color, intensity: float) -> None:
+        """builder.rs:316-351: emissive material + instance + NEE record."""
+        emission_factor = [c * intensity for c in color]
+        mat_id = self.add_material(
+            Material((1.0, 1.0, 1.0, 1.0))
+            .light_index(len(self.lights))
+            .emissive(emission_factor)
+            .texture(0)
+        )
+        self.add_instance(mesh_id, mat_id, transform)
+        position = transform[:3, 3]
+        u = math3d.transform_vector(transform, [1.0, 0.0, 0.0]) * 0.5
+        v = math3d.transform_vector(transform, [0.0, 0.0, -1.0]) * 0.5
+        self.add_quad_light(position, u, v, [color[0], color[1], color[2], intensity])
+
+    def register_sphere_light(self, mesh_id: int, transform: np.ndarray,
+                              color, intensity: float) -> None:
+        """builder.rs:353-385."""
+        emission_factor = [c * intensity for c in color]
+        mat_id = self.add_material(
+            Material((1.0, 1.0, 1.0, 1.0))
+            .light_index(len(self.lights))
+            .emissive(emission_factor)
+            .texture(0)
+        )
+        self.add_instance(mesh_id, mat_id, transform)
+        position = transform[:3, 3]
+        radius = float(np.linalg.norm(
+            math3d.transform_vector(transform, [1.0, 0.0, 0.0]))) * 0.5
+        self.add_sphere_light(position, radius, [color[0], color[1], color[2], intensity])
+
+    # ---------------- compile ----------------
+
+    def build(self, dtype=np.float32) -> CompiledScene:
+        import jax.numpy as jnp
+
+        # 1. global concatenated attributes / indices (builder.rs:123-141)
+        attr_n, attr_uv, attr_tan, indices = [], [], [], []
+        mesh_voff, mesh_ioff = [], []
+        local_v0, local_e1, local_e2 = [], [], []
+        mesh_tri_off = []  # offset into local_* per mesh
+        v_off = i_off = t_off = 0
+        for mesh in self.meshes:
+            mesh_voff.append(v_off)
+            mesh_ioff.append(i_off)
+            mesh_tri_off.append(t_off)
+            attr_n.append(mesh.oct_normals)
+            attr_uv.append(mesh.uvs)
+            attr_tan.append(mesh.tangents)
+            indices.append(mesh.indices.astype(np.int32))
+            tri = mesh.indices.reshape(-1, 3)
+            p = mesh.positions
+            local_v0.append(p[tri[:, 0]])
+            local_e1.append(p[tri[:, 1]] - p[tri[:, 0]])
+            local_e2.append(p[tri[:, 2]] - p[tri[:, 0]])
+            v_off += len(mesh.positions)
+            i_off += len(mesh.indices)
+            t_off += mesh.num_triangles
+
+        cat = lambda xs, w: (np.concatenate(xs, axis=0) if xs
+                             else np.zeros((0, w) if w else (0,), np.float32))
+        attr_n = cat(attr_n, 2)
+        attr_uv = cat(attr_uv, 2)
+        attr_tan = cat(attr_tan, 4)
+        indices = (np.concatenate(indices) if indices else np.zeros((0,), np.int32))
+        local_v0, local_e1, local_e2 = cat(local_v0, 3), cat(local_e1, 3), cat(local_e2, 3)
+
+        # 2. flatten instances to a world-space soup
+        tri_inst, tri_prim, tri_local = [], [], []
+        world_v0, world_e1, world_e2 = [], [], []
+        inst_mesh, inst_mat, inst_tf, inst_nm = [], [], [], []
+        for inst_id, (mesh_id, mat_id, tf) in enumerate(self.instances):
+            mesh = self.meshes[mesh_id]
+            nt = mesh.num_triangles
+            a = tf[:3, :3]
+            t = tf[:3, 3]
+            lo = mesh_tri_off[mesh_id]
+            lv0 = local_v0[lo:lo + nt]
+            lv1 = lv0 + local_e1[lo:lo + nt]
+            lv2 = lv0 + local_e2[lo:lo + nt]
+            wv0 = lv0 @ a.T + t
+            wv1 = lv1 @ a.T + t
+            wv2 = lv2 @ a.T + t
+            world_v0.append(wv0)
+            world_e1.append(wv1 - wv0)
+            world_e2.append(wv2 - wv0)
+            tri_inst.append(np.full(nt, inst_id, np.int32))
+            tri_prim.append(np.arange(nt, dtype=np.int32))
+            tri_local.append(np.arange(lo, lo + nt, dtype=np.int32))
+            inst_mesh.append(mesh_id)
+            inst_mat.append(mat_id)
+            inst_tf.append(tf[:3, :4])
+            inst_nm.append(np.linalg.inv(a).T.astype(np.float32))
+
+        world_v0 = cat(world_v0, 3)
+        world_e1 = cat(world_e1, 3)
+        world_e2 = cat(world_e2, 3)
+        tri_inst = (np.concatenate(tri_inst) if tri_inst else np.zeros((0,), np.int32))
+        tri_prim = (np.concatenate(tri_prim) if tri_prim else np.zeros((0,), np.int32))
+        tri_local = (np.concatenate(tri_local) if tri_local else np.zeros((0,), np.int32))
+
+        # 3. BVH over the soup
+        wv1 = world_v0 + world_e1
+        wv2 = world_v0 + world_e2
+        aabb_min = np.minimum(np.minimum(world_v0, wv1), wv2)
+        aabb_max = np.maximum(np.maximum(world_v0, wv1), wv2)
+        tree = bvh_ops.build_bvh(aabb_min, aabb_max)
+        bvh_ops.fill_triangles(tree, world_v0, world_e1, world_e2)
+
+        # 4. tables + textures
+        materials = pack_materials(self.materials)
+        lights = light_mod.pack_lights(self.lights)
+        color_tex = np.stack(self.color_textures).astype(np.float32)
+        data_tex = np.stack(self.data_textures).astype(np.float32)
+
+        i = np.int32
+        f = np.float32
+        scene = CompiledScene(
+            bvh_rec=tree.rec.astype(f),
+            bvh_skip=tree.skip.astype(i),
+            bvh_tri=tree.tri_id.astype(i),
+            bvh_left=tree.box_left.astype(i),
+            bvh_right=tree.box_right.astype(i),
+            bvh_depth=tree.depth.astype(i),
+            tri_inst=tri_inst,
+            tri_prim=tri_prim,
+            tri_local=tri_local,
+            local_v0=local_v0.astype(f),
+            local_e1=local_e1.astype(f),
+            local_e2=local_e2.astype(f),
+            inst_mesh_id=np.asarray(inst_mesh, i),
+            inst_mat_id=np.asarray(inst_mat, i),
+            inst_transform=(np.stack(inst_tf).astype(f) if inst_tf
+                            else np.zeros((0, 3, 4), f)),
+            inst_normal_mat=(np.stack(inst_nm).astype(f) if inst_nm
+                             else np.zeros((0, 3, 3), f)),
+            attr_oct_normal=attr_n.astype(f),
+            attr_uv=attr_uv.astype(f),
+            attr_tangent=attr_tan.astype(f),
+            indices=indices.astype(i),
+            mesh_vertex_offset=np.asarray(mesh_voff, i),
+            mesh_index_offset=np.asarray(mesh_ioff, i),
+            materials=materials,
+            lights=lights,
+            color_tex=jnp.asarray(color_tex, jnp.bfloat16),
+            data_tex=jnp.asarray(data_tex, jnp.bfloat16),
+            num_lights=len(self.lights),
+            num_instances=len(self.instances),
+            bvh_max_depth=tree.max_depth,
+        )
+        import jax
+
+        return jax.tree_util.tree_map(jnp.asarray, scene)

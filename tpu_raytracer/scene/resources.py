@@ -1,0 +1,101 @@
+"""Compiled scene resources: the pytree of device arrays a render consumes.
+
+This is the TPU-native analogue of the reference's `SceneResources`
+(src/scene/resources.rs:11-22): instead of driver-owned TLAS/BLAS handles and
+GPU buffer objects, everything is a JAX array in one pytree, so the whole
+scene can be donated, sharded (replicated per chip - scenes are << HBM), and
+threaded through jitted render steps.
+
+Static (non-array) facts live in metadata fields so jit re-traces only when
+the scene's *shape* changes, not its contents.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "bvh_rec", "bvh_skip", "bvh_tri",
+        "bvh_left", "bvh_right", "bvh_depth",
+        "tri_inst", "tri_prim", "tri_local",
+        "local_v0", "local_e1", "local_e2",
+        "inst_mesh_id", "inst_mat_id", "inst_transform", "inst_normal_mat",
+        "attr_oct_normal", "attr_uv", "attr_tangent",
+        "indices", "mesh_vertex_offset", "mesh_index_offset",
+        "materials", "lights",
+        "color_tex", "data_tex",
+    ],
+    meta_fields=["num_lights", "num_instances", "bvh_max_depth"],
+)
+@dataclasses.dataclass
+class CompiledScene:
+    # --- traversal stream (see ops/bvh.py) ---
+    bvh_rec: jax.Array      # [S, 12] f32
+    bvh_skip: jax.Array     # [S] i32
+    bvh_tri: jax.Array      # [S] i32 (original world-triangle id; -1 for boxes)
+    bvh_left: jax.Array     # [S] i32 (refit: left child box; -1 if leaf/tri)
+    bvh_right: jax.Array    # [S] i32
+    bvh_depth: jax.Array    # [S] i32
+
+    # --- per world triangle (original order) ---
+    tri_inst: jax.Array     # [T] i32 instance id
+    tri_prim: jax.Array     # [T] i32 primitive index within its mesh
+    tri_local: jax.Array    # [T] i32 index into local_* concatenated tri arrays
+
+    # --- per mesh-local triangle (for TLAS-style refit under new transforms) ---
+    local_v0: jax.Array     # [TL, 3] f32 object-space v0
+    local_e1: jax.Array     # [TL, 3] f32
+    local_e2: jax.Array     # [TL, 3] f32
+
+    # --- per instance ---
+    inst_mesh_id: jax.Array    # [I] i32
+    inst_mat_id: jax.Array     # [I] i32
+    inst_transform: jax.Array  # [I, 3, 4] f32 object->world affine
+    inst_normal_mat: jax.Array  # [I, 3, 3] f32 (world normal = nm @ local n)
+
+    # --- global concatenated vertex attributes (builder.rs:123-141 layout) ---
+    attr_oct_normal: jax.Array  # [A, 2] f32
+    attr_uv: jax.Array          # [A, 2] f32
+    attr_tangent: jax.Array     # [A, 4] f32
+    indices: jax.Array          # [Itot] i32
+    mesh_vertex_offset: jax.Array  # [Msh] i32
+    mesh_index_offset: jax.Array   # [Msh] i32
+
+    # --- tables ---
+    materials: dict          # SoA dict, see material.pack_materials
+    lights: dict             # SoA dict, see light.pack_lights
+
+    # --- texture arrays (1024x1024, bf16; color pre-decoded sRGB->linear) ---
+    color_tex: jax.Array     # [C, H, W, 3]
+    data_tex: jax.Array      # [D, H, W, 3]
+
+    # --- static metadata ---
+    num_lights: int
+    num_instances: int
+    bvh_max_depth: int
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.tri_inst.shape[0])
+
+
+def to_device(scene: "CompiledScene") -> "CompiledScene":
+    """Move all host numpy arrays onto the default device."""
+    return jax.tree_util.tree_map(jax.numpy.asarray, scene)
+
+
+def checkpoint_state(accum, reservoirs, frame_count: int, camera_state: dict) -> dict:
+    """Serializable pause/resume state (SURVEY.md §5 checkpoint plan)."""
+    return {
+        "accum": np.asarray(accum),
+        "reservoirs": jax.tree_util.tree_map(np.asarray, reservoirs),
+        "frame_count": frame_count,
+        "camera_state": camera_state,
+    }
