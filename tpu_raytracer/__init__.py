@@ -8,3 +8,9 @@ wavefront shading under jit, screen-tile sharding over a device mesh.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry math needs true f32: TPU matmuls otherwise default to bf16 passes,
+# which destroys e.g. the inverse-projection w cancellation (0.01 -> 0).
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,88 @@
+"""G-buffer pass: primary visibility (gbuffer.wgsl:91-255).
+
+Generates one camera ray per pixel from the inverse view/projection chain,
+traces the BVH, and produces flat SoA G-buffer arrays: world position,
+material id, final (normal-mapped) octahedral normal, uv, albedo
+(base_color x texture x baked occlusion, gbuffer.wgsl:221), and the motion
+vector `prev_uv - curr_uv` from reprojection through the previous frame's
+unjittered view-proj (gbuffer.wgsl:227-242).
+
+The reference packs these into 4 storage textures; here they stay SoA f32
+arrays of shape [H*W, ...] - the natural TPU layout (and un-quantized:
+albedo is not crushed to 8 bits).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..scene.material import NO_TEXTURE
+from ..utils import math3d
+from . import textures
+from .hit import apply_normal_map, gather_material, reconstruct_hit
+from .trace_api import scene_trace
+
+T_MIN = 1e-3
+T_MAX = 1000.0  # gbuffer.wgsl:109
+
+
+def generate_primary_rays(camera, width: int, height: int):
+    """gbuffer.wgsl:96-105. Returns (origins [R,3], dirs [R,3])."""
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    u, v = jnp.meshgrid(xs, ys, indexing="xy")  # [H, W]
+    ndc_x = (u * 2.0 - 1.0).reshape(-1)
+    ndc_y = (1.0 - v * 2.0).reshape(-1)
+
+    origin = camera["view_inv"][:3, 3]
+
+    ndc = jnp.stack([ndc_x, ndc_y, jnp.ones_like(ndc_x), jnp.ones_like(ndc_x)],
+                    axis=-1)  # [R, 4]
+    target = ndc @ camera["ray_matrix"].T
+    direction = math3d.normalize(target[:, :3] / target[:, 3:4] - origin)
+    origins = jnp.broadcast_to(origin, direction.shape)
+    return origins, direction
+
+
+def render_gbuffer(scene, camera, width: int, height: int) -> dict:
+    """Returns the flat G-buffer dict consumed by trace_path / ReSTIR."""
+    ray_o, ray_d = generate_primary_rays(camera, width, height)
+    res = scene_trace(scene, ray_o, ray_d, T_MIN, T_MAX)
+    valid = res["tri"] >= 0
+
+    h = reconstruct_hit(scene, res["tri"], res["u"], res["v"], res["front"],
+                        ray_o, ray_d, res["t"])
+    mat = gather_material(scene, h["mat_id"])
+
+    tex_color = textures.sample_bilinear(scene.color_tex, mat["tex_id"], h["uv"])
+    occlusion = textures.sample_bilinear(
+        scene.data_tex, mat["occlusion_tex_id"], h["uv"]
+    )[:, 0:1]
+    base_color = mat["base_color"][:, :3] * tex_color * occlusion
+
+    nmap = textures.sample_bilinear(scene.data_tex, mat["normal_tex_id"], h["uv"])
+    final_normal = apply_normal_map(
+        h["ffnormal"], h["tangent"], nmap, mat["normal_tex_id"] != NO_TEXTURE
+    )
+
+    # motion vectors (gbuffer.wgsl:227-242)
+    pos4 = jnp.concatenate(
+        [h["pos"], jnp.ones((h["pos"].shape[0], 1), jnp.float32)], axis=-1
+    )
+    curr_clip = pos4 @ camera["view_proj"].T
+    prev_clip = pos4 @ camera["prev_view_proj"].T
+    curr_ndc = curr_clip[:, :2] / curr_clip[:, 3:4]
+    prev_ndc = prev_clip[:, :2] / prev_clip[:, 3:4]
+    flip = jnp.asarray([0.5, -0.5], jnp.float32)
+    motion = (prev_ndc * flip + 0.5) - (curr_ndc * flip + 0.5)
+
+    z = jnp.zeros_like
+    return {
+        "valid": valid,
+        "pos": jnp.where(valid[:, None], h["pos"], 0.0),
+        "mat_id": jnp.where(valid, h["mat_id"], 0).astype(jnp.int32),
+        "oct_normal": jnp.where(valid[:, None], math3d.oct_encode(final_normal), 0.0),
+        "uv": jnp.where(valid[:, None], h["uv"], 0.0),
+        "albedo": jnp.where(valid[:, None], base_color, 0.0),
+        "motion": jnp.where(valid[:, None], motion, 0.0),
+    }

@@ -1,0 +1,51 @@
+"""Analytic light sampling for NEE (restir.wgsl:219-245).
+
+Quad lights sample the parallelogram spanned by half-extent vectors u/v;
+sphere lights sample the full sphere surface uniformly. Area pdf = 1/area
+with areas precomputed at registration (builder.rs:392-429).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils import math3d
+
+PI = jnp.float32(jnp.pi)
+
+
+def sample_light(lights, light_idx, r1, r2):
+    """Sample [R] lights by index with uniforms r1, r2 (2 draws/lane).
+
+    Returns dict: pos [R,3], normal [R,3], pdf [R], emission [R,4].
+    """
+    idx = jnp.maximum(light_idx, 0)
+    position = lights["position"][idx]
+    ltype = lights["type"][idx]
+    u_vec = lights["u"][idx]
+    v_vec = lights["v"][idx]
+    area = lights["area"][idx]
+    emission = lights["emission"][idx]
+
+    # quad (type 0)
+    su = (r1 * 2.0 - 1.0)[:, None]
+    sv = (r2 * 2.0 - 1.0)[:, None]
+    quad_pos = position + u_vec * su + v_vec * sv
+    quad_normal = math3d.normalize(jnp.cross(u_vec, v_vec))
+
+    # sphere (type 1): radius lives in v.x (light.rs rule)
+    z = 1.0 - 2.0 * r1
+    r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * PI * r2
+    local_dir = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], axis=-1)
+    radius = v_vec[:, 0:1]
+    sphere_pos = position + local_dir * radius
+
+    is_quad = (ltype == 0)[:, None]
+    return {
+        "pos": jnp.where(is_quad, quad_pos, sphere_pos),
+        "normal": jnp.where(is_quad, quad_normal, local_dir),
+        "pdf": 1.0 / jnp.maximum(area, 1e-12),
+        "emission": emission,
+        "area": area,
+    }

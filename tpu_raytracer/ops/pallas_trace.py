@@ -1,0 +1,192 @@
+"""Pallas TPU intersector: blocked brute-force Moller-Trumbore.
+
+Why brute force: on TPU, per-lane BVH pointer chasing needs random gathers,
+and XLA gathers have a ~110 us/step floor while Mosaic's `dynamic_gather`
+only spans one vreg (128-entry tables). For the scene sizes this framework
+targets interactively (10^3..10^4 triangles), testing EVERY triangle against
+every ray in a VMEM-blocked sweep is both simpler and dramatically faster:
+zero divergence, zero gathers, pure VPU throughput, and triangle data stays
+resident in VMEM across the whole ray block.
+
+Kernel shape: grid over ray blocks (BR rays); inner fori over triangle
+chunks (CT tris). Per step computes a [BR, CT] MT test in registers and
+reduces arg-min-t on the fly. Replaces hardware `ray_query`
+(gbuffer.wgsl:108, restir.wgsl:601) for the default scene sizes; the
+unified-stream BVH (ops/traversal.py) remains the large-scene path and the
+refit structure for TLAS-style per-frame updates.
+
+Layout: triangles packed as 4 planes of shape [3, T]: v0, e1, e2 plus a
+fourth plane whose first row is a validity mask (padding kills phantom
+hits). Rays pass as [8, R] (o.xyz, d.xyz, t_min, t_max).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = 3.0e38
+
+BR = 256      # rays per block (sublane-major)
+CT = 512      # triangles per inner chunk (lane-major)
+_MT_EPS = 1e-9
+
+
+def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+    """Host-side packing to the kernel layout.
+
+    Returns (tri_planes [4, 3, Tp], t_padded) with Tp padded to CT.
+    Plane 3 row 0 is the validity mask (1.0 real, 0.0 padding).
+    """
+    t = v0.shape[0]
+    tp = max(((t + CT - 1) // CT) * CT, CT)
+    planes = np.zeros((4, 3, tp), np.float32)
+    planes[0, :, :t] = v0.T
+    planes[1, :, :t] = e1.T
+    planes[2, :, :t] = e2.T
+    planes[3, 0, :t] = 1.0
+    return planes, tp
+
+
+def _mt_kernel(rays_ref, tri_ref, t_ref, idx_ref, uvf_ref, *, num_chunks,
+               any_hit):
+    rays = rays_ref[:]                      # [8, BR]
+    ox, oy, oz = rays[0], rays[1], rays[2]  # [BR]
+    dx, dy, dz = rays[3], rays[4], rays[5]
+    t_min = rays[6]
+    t_max = rays[7]
+
+    def chunk(c, carry):
+        t_best, idx_best, u_best, v_best, f_best = carry
+        tri = tri_ref[:, :, pl.ds(c * CT, CT)]    # [4, 3, CT]
+        v0x, v0y, v0z = tri[0, 0], tri[0, 1], tri[0, 2]   # [CT]
+        e1x, e1y, e1z = tri[1, 0], tri[1, 1], tri[1, 2]
+        e2x, e2y, e2z = tri[2, 0], tri[2, 1], tri[2, 2]
+        valid_t = tri[3, 0] > 0.5
+
+        # broadcast rays down sublanes, tris along lanes: [BR, CT]
+        rdx, rdy, rdz = dx[:, None], dy[:, None], dz[:, None]
+        # pvec = d x e2
+        px = rdy * e2z[None] - rdz * e2y[None]
+        py = rdz * e2x[None] - rdx * e2z[None]
+        pz = rdx * e2y[None] - rdy * e2x[None]
+        det = e1x[None] * px + e1y[None] * py + e1z[None] * pz
+        det_ok = jnp.abs(det) > _MT_EPS
+        inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+        # tvec = o - v0
+        tx = ox[:, None] - v0x[None]
+        ty = oy[:, None] - v0y[None]
+        tz = oz[:, None] - v0z[None]
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        # qvec = tvec x e1
+        qx = ty * e1z[None] - tz * e1y[None]
+        qy = tz * e1x[None] - tx * e1z[None]
+        qz = tx * e1y[None] - ty * e1x[None]
+        v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+        t = (e2x[None] * qx + e2y[None] * qy + e2z[None] * qz) * inv_det
+
+        hit = (
+            det_ok & valid_t[None]
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_min[:, None]) & (t < t_max[:, None])
+            & (t < t_best[:, None])
+        )
+        t_cand = jnp.where(hit, t, INF)
+        best_lane = jnp.argmin(t_cand, axis=1)            # [BR]
+        t_new = jnp.min(t_cand, axis=1)
+        improved = t_new < t_best
+
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (BR, CT), 1)
+        sel = lane_ids == best_lane[:, None]
+        u_new = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+        v_new = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
+        f_new = jnp.sum(jnp.where(sel, jnp.where(det > 0, 1.0, 0.0), 0.0), axis=1)
+
+        t_best = jnp.where(improved, t_new, t_best)
+        idx_best = jnp.where(improved, c * CT + best_lane, idx_best)
+        u_best = jnp.where(improved, u_new, u_best)
+        v_best = jnp.where(improved, v_new, v_best)
+        f_best = jnp.where(improved, f_new, f_best)
+        return t_best, idx_best, u_best, v_best, f_best
+
+    init = (
+        jnp.full((BR,), INF, jnp.float32),
+        jnp.full((BR,), -1, jnp.int32),
+        jnp.zeros((BR,), jnp.float32),
+        jnp.zeros((BR,), jnp.float32),
+        jnp.zeros((BR,), jnp.float32),
+    )
+    t_best, idx_best, u_best, v_best, f_best = jax.lax.fori_loop(
+        0, num_chunks, chunk, init
+    )
+    t_ref[0, :] = t_best
+    idx_ref[0, :] = idx_best
+    uvf_ref[0, :] = u_best
+    uvf_ref[1, :] = v_best
+    uvf_ref[2, :] = f_best
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def trace_brute_pallas(tri_planes, ray_o, ray_d, t_min, t_max,
+                       any_hit: bool = False, active=None):
+    """Closest-hit (or any-hit) over ALL triangles.
+
+    Args:
+      tri_planes: [4, 3, Tp] from `pack_triangles` (device array).
+      ray_o, ray_d: [R, 3]; t_min/t_max scalar or [R].
+      active: [R] bool; inactive lanes get t_max=0 (test nothing real).
+
+    Returns dict(t, tri, u, v, front) like traversal.trace.
+    """
+    r = ray_o.shape[0]
+    tp = tri_planes.shape[2]
+    num_chunks = tp // CT
+    rp = max(((r + BR - 1) // BR) * BR, BR)
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+
+    rays = jnp.zeros((8, rp), jnp.float32)
+    rays = rays.at[0:3, :r].set(ray_o.T)
+    rays = rays.at[3:6, :r].set(ray_d.T)
+    rays = rays.at[6, :r].set(t_min)
+    rays = rays.at[7, :r].set(t_max)
+
+    grid = (rp // BR,)
+    kernel = functools.partial(_mt_kernel, num_chunks=num_chunks,
+                               any_hit=any_hit)
+    t, idx, uvf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 3, tp), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
+            jax.ShapeDtypeStruct((3, rp), jnp.float32),
+        ],
+    )(rays, tri_planes)
+
+    missed = idx[0, :r] < 0
+    return {
+        "t": jnp.where(missed, jnp.float32(INF), t[0, :r]),
+        "tri": idx[0, :r],
+        "u": uvf[0, :r],
+        "v": uvf[1, :r],
+        "front": uvf[2, :r] > 0.5,
+    }

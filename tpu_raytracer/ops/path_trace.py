@@ -1,0 +1,288 @@
+"""Wavefront path tracer: the TPU replacement for the per-thread megakernel.
+
+Faithful vectorized port of `trace_path` (restir.wgsl:460-737 /
+restir_spatial.wgsl:480-762): starts from the G-buffer hit (depth 0),
+performs NEE+MIS direct lighting at every diffuse vertex, BSDF-samples the
+next direction, Russian roulette from depth 3, MAX_DEPTH 8. The per-lane RNG
+consumption order matches the reference exactly so that seed-replay ReSTIR
+(reservoirs storing only the winning seed) reproduces identical paths.
+
+Divergent control flow ("break") becomes an active-lane mask; terminated
+lanes skip traversal via the traversal kernel's `active` fast path. The
+bounce loop is a single `lax.fori_loop` body (compiled once).
+
+Reference quirks intentionally preserved (they define the target radiance):
+  * the bounce loop's `is_specular` reuses the *primary* surface's glass
+    flag (restir.wgsl:705 uses `is_glass` from :554), not the current hit's;
+  * the emissive-hit MIS cosine uses `dot(ffnormal, -wo)` (restir.wgsl:690)
+    which is <= 0 on front hits, so BSDF-sampled light hits after a diffuse
+    vertex get MIS weight 0 (NEE carries direct lighting there);
+  * non-light materials in the bounce loop emit only their emissive TEXTURE
+    (restir.wgsl:675-678), the emissive factor alone contributes at depth 0.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..scene.material import NO_TEXTURE
+from ..utils import math3d, rng
+from . import bsdf as bsdf_ops
+from . import lights as light_ops
+from . import textures
+from .hit import apply_normal_map, gather_material, reconstruct_hit
+from .trace_api import scene_occluded, scene_trace
+
+MAX_DEPTH = 8          # restir.wgsl:5
+RR_START_DEPTH = 3     # restir.wgsl:593
+T_MIN = 1e-3
+T_MAX = 100.0          # restir.wgsl:605
+
+
+def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights):
+    """One NEE sample with MIS (restir.wgsl:554-575 / 702-724).
+
+    Consumes up to 3 draws per active lane (light pick + 2 area sample).
+    Returns (state, contribution [R,3]) - already shadow-tested, NOT yet
+    multiplied by throughput.
+    """
+    r = pos.shape[0]
+    if num_lights == 0:
+        return state, jnp.zeros((r, 3), jnp.float32)
+
+    state, r_pick = rng.rand_if(state, active)
+    light_idx = jnp.floor(r_pick * num_lights).astype(jnp.int32)
+    idx_ok = light_idx < num_lights
+    smp_mask = active & idx_ok
+    state, r1 = rng.rand_if(state, smp_mask)
+    state, r2 = rng.rand_if(state, smp_mask)
+
+    ls = light_ops.sample_light(scene.lights, light_idx, r1, r2)
+
+    pdf_nee = ls["pdf"] * (1.0 / num_lights)
+    to_light = math3d.normalize(ls["pos"] - pos)
+    p_bsdf = bsdf_ops.eval_pdf(ffnormal, to_light, wo, mat, base_color)
+    mis_weight = pdf_nee / jnp.maximum(pdf_nee + p_bsdf, 1e-20)
+    weight = mis_weight / jnp.maximum(pdf_nee, 1e-20)
+
+    # eval_direct_lighting (restir.wgsl:443-459)
+    offset_pos = pos + ffnormal * 1e-3
+    delta = ls["pos"] - offset_pos
+    dist = math3d.length(delta)
+    l_dir = delta / jnp.maximum(dist, 1e-12)[:, None]
+    n_dot_l = jnp.maximum(math3d.dot(ffnormal, l_dir), 0.0)
+    l_dot_n = jnp.maximum(math3d.dot(-l_dir, ls["normal"]), 0.0)
+    geo_ok = (n_dot_l > 0.0) & (l_dot_n > 0.0)
+
+    shadow_active = smp_mask & geo_ok
+    blocked = scene_occluded(
+        scene, offset_pos, l_dir, T_MIN, jnp.maximum(dist * 0.999, 0.0),
+        active=shadow_active,
+    )
+    visible = shadow_active & ~blocked
+
+    f = bsdf_ops.eval_bsdf(ffnormal, l_dir, wo, mat, base_color)
+    g = (n_dot_l * l_dot_n) / jnp.maximum(dist * dist, 1e-12)
+    contrib = (
+        ls["emission"][:, :3] * ls["emission"][:, 3:4]
+        * f * (g * weight)[:, None]
+    )
+    return state, jnp.where(visible[:, None], contrib, 0.0)
+
+
+def trace_path(scene, gb, view_pos, seed):
+    """Trace one candidate path per lane from the G-buffer surface.
+
+    Args:
+      scene: CompiledScene.
+      gb: flat G-buffer dict: valid [R] bool, pos [R,3], oct_normal [R,2],
+          uv [R,2], albedo [R,3], mat_id [R] i32.
+      view_pos: [3] camera world position.
+      seed: [R] uint32 path seeds (ReSTIR reservoir `y`).
+
+    Returns dict: radiance [R,3], valid_v1 [R] bool, v1_pos [R,3],
+    v1_normal [R,3] (the reconnection vertex for shift mapping,
+    restir.wgsl:624-629).
+    """
+    r = gb["pos"].shape[0]
+    num_lights = scene.num_lights
+    state = jnp.asarray(seed, jnp.uint32)
+
+    active = gb["valid"]
+    pos = gb["pos"]
+    normal = math3d.oct_decode(gb["oct_normal"])
+    ffnormal = normal
+    uv = gb["uv"]
+    mat_id = gb["mat_id"]
+    front_face = jnp.ones((r,), jnp.bool_)
+
+    mat = gather_material(scene, mat_id)
+    base_color = gb["albedo"]
+    mat = dict(mat)
+    mat["base_color"] = jnp.concatenate(
+        [base_color, jnp.ones((r, 1), jnp.float32)], axis=-1
+    )
+
+    # --- metallic-roughness map at depth 0 (restir.wgsl:503-511) ---
+    mr = textures.sample_bilinear(scene.data_tex, mat["metallic_roughness_tex_id"], uv)
+    has_mr = mat["metallic_roughness_tex_id"] != NO_TEXTURE
+    mat["metallic"] = jnp.where(has_mr, mr[:, 2] * mat["metallic"], mat["metallic"])
+    mat["roughness"] = jnp.where(has_mr, mr[:, 1] * mat["roughness"], mat["roughness"])
+
+    accumulated = jnp.zeros((r, 3), jnp.float32)
+    throughput = jnp.ones((r, 3), jnp.float32)
+    wo = math3d.normalize(view_pos[None, :] - pos)
+
+    # --- primary emission, light-source pixels terminate (restir.wgsl:522-552)
+    em_tex = textures.sample_bilinear(scene.color_tex, mat["emissive_tex_id"], uv)
+    has_em_tex = mat["emissive_tex_id"] != NO_TEXTURE
+    emission = mat["emissive_factor"] * jnp.where(has_em_tex[:, None], em_tex, 1.0)
+    accumulated = accumulated + jnp.where(active[:, None], emission, 0.0)
+    is_light_px = active & (mat["light_index"] >= 0)
+    active = active & ~is_light_px
+
+    # --- primary NEE (restir.wgsl:554-575) ---
+    is_glass_primary = mat["transmission"] > 0.01
+    is_specular0 = is_glass_primary | (mat["roughness"] < 0.05)
+    nee_mask = active & ~is_specular0
+    state, direct = _nee(scene, state, nee_mask, pos, ffnormal, wo, mat,
+                         base_color, num_lights)
+    accumulated = accumulated + jnp.where(nee_mask[:, None], direct, 0.0) * throughput
+    previous_was_diffuse = nee_mask
+
+    # --- primary BSDF sample (restir.wgsl:577-584) ---
+    state, sc = bsdf_ops.sample_bsdf(
+        state, wo, pos, ffnormal, front_face, mat, base_color, active=active
+    )
+    dead = jnp.all(sc["weight"] <= 0.0, axis=-1)
+    active = active & ~dead
+    last_bsdf_pdf = sc["pdf"]
+    throughput = throughput * sc["weight"]
+    next_dir = sc["wi"]
+
+    valid_v1 = jnp.zeros((r,), jnp.bool_)
+    v1_pos = jnp.zeros((r, 3), jnp.float32)
+    v1_normal = jnp.zeros((r, 3), jnp.float32)
+
+    # ------------------------------------------------------------------
+    # Bounce loop, depth 1..MAX_DEPTH-1 (restir.wgsl:590-733)
+    # ------------------------------------------------------------------
+    import jax
+
+    carry = dict(
+        state=state, active=active, accumulated=accumulated,
+        throughput=throughput, pos=pos, ffnormal=ffnormal,
+        next_dir=next_dir, last_bsdf_pdf=last_bsdf_pdf,
+        previous_was_diffuse=previous_was_diffuse,
+        valid_v1=valid_v1, v1_pos=v1_pos, v1_normal=v1_normal,
+    )
+
+    def body(depth, c):
+        state = c["state"]
+        active = c["active"]
+        throughput = c["throughput"]
+        accumulated = c["accumulated"]
+
+        # Russian roulette (restir.wgsl:593-598)
+        rr_mask = active & (depth >= RR_START_DEPTH)
+        state, r_rr = rng.rand_if(state, rr_mask)
+        p = jnp.max(throughput, axis=-1)
+        survival = jnp.clip(p, 0.05, 0.95)
+        die = rr_mask & (r_rr > survival)
+        active = active & ~die
+        throughput = jnp.where(
+            (rr_mask & active)[:, None], throughput / survival[:, None], throughput
+        )
+
+        # bounce ray (restir.wgsl:601-607)
+        next_dir = c["next_dir"]
+        offset_dir = jnp.sign(
+            math3d.dot(c["ffnormal"], next_dir, keepdims=True)
+        ) * c["ffnormal"]
+        origin = c["pos"] + offset_dir * 1e-3
+        res = scene_trace(scene, origin, next_dir, T_MIN, T_MAX, active=active)
+        active = active & (res["tri"] >= 0)
+
+        h = reconstruct_hit(scene, res["tri"], res["u"], res["v"], res["front"],
+                            origin, next_dir, res["t"])
+
+        # reconnection vertex (restir.wgsl:624-629)
+        first = active & (depth == 1)
+        valid_v1 = c["valid_v1"] | first
+        v1_pos = jnp.where(first[:, None], h["pos"], c["v1_pos"])
+        v1_normal = jnp.where(first[:, None], h["normal"], c["v1_normal"])
+
+        wo = -next_dir
+        mat = gather_material(scene, h["mat_id"])
+        tex_color = textures.sample_bilinear(scene.color_tex, mat["tex_id"], h["uv"])
+        occ = textures.sample_bilinear(
+            scene.data_tex, mat["occlusion_tex_id"], h["uv"]
+        )[:, 0:1]
+        base_color = mat["base_color"][:, :3] * tex_color * occ
+
+        nmap = textures.sample_bilinear(
+            scene.data_tex, mat["normal_tex_id"], h["uv"]
+        )
+        ffnormal = apply_normal_map(
+            h["ffnormal"], h["tangent"], nmap, mat["normal_tex_id"] != NO_TEXTURE
+        )
+
+        # emissive texture of non-light materials (restir.wgsl:675-678)
+        em_tex = textures.sample_bilinear(scene.color_tex, mat["emissive_tex_id"], h["uv"])
+        em_mask = active & (mat["light_index"] == -1) & (mat["emissive_tex_id"] != NO_TEXTURE)
+        accumulated = accumulated + jnp.where(em_mask[:, None], em_tex, 0.0) * throughput
+
+        # emissive light hit with MIS (restir.wgsl:683-699)
+        light_hit = active & (mat["light_index"] >= 0)
+        lt = jnp.maximum(mat["light_index"], 0)
+        l_em = scene.lights["emission"][lt]
+        l_area = scene.lights["area"][lt]
+        le = l_em[:, :3] * l_em[:, 3:4]
+        dist_sq = h["t"] * h["t"]
+        light_cos = jnp.maximum(math3d.dot(ffnormal, -wo), 0.0)  # quirk, see module docstring
+        p_bsdf = c["last_bsdf_pdf"]
+        p_nee = (1.0 / jnp.maximum(l_area, 1e-12)) * (
+            dist_sq / jnp.maximum(light_cos, 1e-12)
+        ) * (1.0 / max(num_lights, 1))
+        mis_light = jnp.where(
+            light_cos > 1e-3, p_bsdf / jnp.maximum(p_bsdf + p_nee, 1e-20), 0.0
+        )
+        mis_light = jnp.where(c["previous_was_diffuse"], mis_light, 1.0)
+        add_light = light_hit & h["front"]
+        accumulated = accumulated + jnp.where(
+            add_light[:, None], le * mis_light[:, None], 0.0
+        ) * throughput
+        active = active & ~light_hit
+
+        # NEE (restir.wgsl:702-724) - note primary glass flag quirk
+        is_specular_b = is_glass_primary | (mat["roughness"] < 0.05)
+        nee_mask = active & ~is_specular_b
+        state, direct = _nee(scene, state, nee_mask, h["pos"], ffnormal, wo,
+                             mat, base_color, num_lights)
+        accumulated = accumulated + jnp.where(nee_mask[:, None], direct, 0.0) * throughput
+        previous_was_diffuse = jnp.where(active, nee_mask, c["previous_was_diffuse"])
+
+        # next BSDF sample (restir.wgsl:727-732)
+        state, sc = bsdf_ops.sample_bsdf(
+            state, wo, h["pos"], ffnormal, h["front"], mat, base_color, active=active
+        )
+        dead = jnp.all(sc["weight"] <= 0.0, axis=-1)
+        active = active & ~dead
+        throughput = jnp.where(active[:, None], throughput * sc["weight"], throughput)
+
+        return dict(
+            state=state, active=active, accumulated=accumulated,
+            throughput=throughput, pos=h["pos"], ffnormal=ffnormal,
+            next_dir=sc["wi"], last_bsdf_pdf=sc["pdf"],
+            previous_was_diffuse=previous_was_diffuse,
+            valid_v1=valid_v1, v1_pos=v1_pos, v1_normal=v1_normal,
+        )
+
+    carry = jax.lax.fori_loop(1, MAX_DEPTH, body, carry)
+
+    return {
+        "radiance": carry["accumulated"],
+        "valid_v1": carry["valid_v1"],
+        "v1_pos": carry["v1_pos"],
+        "v1_normal": carry["v1_normal"],
+    }

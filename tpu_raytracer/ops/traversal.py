@@ -26,13 +26,16 @@ from .intersect import INF, moller_trumbore, safe_inv_dir
 
 @partial(jax.jit, static_argnames=("any_hit",))
 def trace(bvh_rec, bvh_skip, bvh_tri_id, ray_o, ray_d, t_min, t_max,
-          any_hit: bool = False):
+          any_hit: bool = False, active=None):
     """Trace rays against a unified-stream BVH.
 
     Args:
       bvh_rec: [S, 12] f32, bvh_skip/bvh_tri_id: [S] i32 (see bvh.py).
       ray_o, ray_d: [R, 3]; t_min/t_max scalars or [R].
       any_hit: terminate lanes on first confirmed hit (shadow rays).
+      active: optional [R] bool; inactive lanes skip traversal entirely
+        (their stream pointer starts at the done sentinel) - the wavefront
+        architecture's cheap lane kill for terminated paths.
 
     Returns dict with t [R] (INF on miss), tri [R] i32 (original tri id, -1
     on miss), u, v [R] f32 barycentrics, front [R] bool.
@@ -43,8 +46,11 @@ def trace(bvh_rec, bvh_skip, bvh_tri_id, ray_o, ray_d, t_min, t_max,
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
 
+    ptr0 = jnp.zeros((n_rays,), jnp.int32)
+    if active is not None:
+        ptr0 = jnp.where(active, ptr0, s)
     init = (
-        jnp.zeros((n_rays,), jnp.int32),          # ptr
+        ptr0,                                      # ptr
         t_max,                                     # best t (also prunes boxes)
         jnp.full((n_rays,), -1, jnp.int32),        # best tri
         jnp.zeros((n_rays,), jnp.float32),         # u
@@ -105,7 +111,8 @@ def trace(bvh_rec, bvh_skip, bvh_tri_id, ray_o, ray_d, t_min, t_max,
     }
 
 
-def occluded(bvh_rec, bvh_skip, bvh_tri_id, ray_o, ray_d, t_min, t_max):
+def occluded(bvh_rec, bvh_skip, bvh_tri_id, ray_o, ray_d, t_min, t_max,
+             active=None):
     """Shadow-ray query: True where ANY hit exists in (t_min, t_max).
 
     Matches trace_shadow_ray semantics (restir.wgsl:375-381) except the
@@ -113,7 +120,7 @@ def occluded(bvh_rec, bvh_skip, bvh_tri_id, ray_o, ray_d, t_min, t_max):
     callers invert.
     """
     res = trace(bvh_rec, bvh_skip, bvh_tri_id, ray_o, ray_d, t_min, t_max,
-                any_hit=True)
+                any_hit=True, active=active)
     return res["tri"] >= 0
 
 

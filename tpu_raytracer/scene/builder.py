@@ -233,6 +233,8 @@ class SceneBuilder:
         aabb_max = np.maximum(np.maximum(world_v0, wv1), wv2)
         tree = bvh_ops.build_bvh(aabb_min, aabb_max)
         bvh_ops.fill_triangles(tree, world_v0, world_e1, world_e2)
+        from ..ops.pallas_trace import pack_triangles
+        tri_planes, _ = pack_triangles(world_v0, world_e1, world_e2)
 
         # 4. tables + textures
         materials = pack_materials(self.materials)
@@ -243,6 +245,7 @@ class SceneBuilder:
         i = np.int32
         f = np.float32
         scene = CompiledScene(
+            tri_planes=tri_planes,
             bvh_rec=tree.rec.astype(f),
             bvh_skip=tree.skip.astype(i),
             bvh_tri=tree.tri_id.astype(i),

@@ -168,7 +168,7 @@ def create_crystal() -> Mesh:
         for p in (p0, p1, p2):
             positions.append(p)
             oct_normals.append(enc)
-        indices += [base, base + 1, base + 2]
+        indices.extend([base, base + 1, base + 2])
 
     for i in range(4):
         add_face(top_tip, top_ring[(i + 1) % 4], top_ring[i])

@@ -22,6 +22,7 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
+        "tri_planes",
         "bvh_rec", "bvh_skip", "bvh_tri",
         "bvh_left", "bvh_right", "bvh_depth",
         "tri_inst", "tri_prim", "tri_local",
@@ -36,6 +37,9 @@ import numpy as np
 )
 @dataclasses.dataclass
 class CompiledScene:
+    # --- Pallas brute-force intersector planes (see ops/pallas_trace.py) ---
+    tri_planes: jax.Array   # [4, 3, Tp] f32 (v0 | e1 | e2 | valid-mask)
+
     # --- traversal stream (see ops/bvh.py) ---
     bvh_rec: jax.Array      # [S, 12] f32
     bvh_skip: jax.Array     # [S] i32
