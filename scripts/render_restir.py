@@ -1,0 +1,61 @@
+"""Manual smoke render: full ReSTIR pipeline."""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_raytracer.models import scenes
+from tpu_raytracer.render import camera as camera_mod
+from tpu_raytracer.render import pipeline, renderer
+from tpu_raytracer.utils import image as image_utils
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--scene", default="cornell")
+    ap.add_argument("--out", default="output/restir.png")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    scene = {
+        "cornell": scenes.create_cornell_box,
+        "cornell_diffuse": scenes.create_cornell_box_diffuse,
+        "restir": scenes.create_restir_scene,
+        "bunny": scenes.create_bunny_scene,
+    }[args.scene]()
+    print(f"scene: {time.time()-t0:.1f}s tris={scene.num_triangles} lights={scene.num_lights}")
+
+    w = h = args.size
+    cam = camera_mod.CameraController()
+    state = pipeline.init_state(w, h)
+
+    t0 = time.time()
+    for frame in range(args.frames):
+        uniform = renderer.camera_to_device(cam.uniform(w / h, frame, scene.num_lights))
+        ldr, hdr, state = pipeline.render_frame(
+            scene, uniform, jnp.uint32(frame), state, w, h)
+        if frame == 0:
+            ldr.block_until_ready()
+            print(f"first frame (compile): {time.time()-t0:.1f}s")
+            t0 = time.time()
+    ldr.block_until_ready()
+    n = max(args.frames - 1, 1)
+    dt = time.time() - t0
+    print(f"{n} frames in {dt:.3f}s = {n/dt:.2f} fps @ {w}x{h}")
+
+    img = np.asarray(ldr).reshape(h, w, 3)
+    print("ldr stats: mean", img.mean(axis=(0, 1)), "nan", np.isnan(img).sum())
+    image_utils.save_png(args.out, (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8))
+    print("saved", args.out)
+
+
+if __name__ == "__main__":
+    main()
