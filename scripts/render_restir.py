@@ -38,18 +38,22 @@ def main():
     state = pipeline.init_state(w, h)
 
     t0 = time.time()
+    total_rays = 0.0
     for frame in range(args.frames):
         uniform = renderer.camera_to_device(cam.uniform(w / h, frame, scene.num_lights))
-        ldr, hdr, state = pipeline.render_frame(
+        ldr, hdr, state, aux = pipeline.render_frame(
             scene, uniform, jnp.uint32(frame), state, w, h)
         if frame == 0:
             ldr.block_until_ready()
             print(f"first frame (compile): {time.time()-t0:.1f}s")
             t0 = time.time()
+        else:
+            total_rays += float(aux["rays"])
     ldr.block_until_ready()
     n = max(args.frames - 1, 1)
     dt = time.time() - t0
-    print(f"{n} frames in {dt:.3f}s = {n/dt:.2f} fps @ {w}x{h}")
+    print(f"{n} frames in {dt:.3f}s = {n/dt:.2f} fps @ {w}x{h}, "
+          f"{total_rays/dt/1e6:.1f} Mrays/s")
 
     img = np.asarray(ldr).reshape(h, w, 3)
     print("ldr stats: mean", img.mean(axis=(0, 1)), "nan", np.isnan(img).sum())

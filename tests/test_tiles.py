@@ -1,0 +1,48 @@
+"""Multi-chip screen-tile sharding: tiled pipeline == single-chip pipeline.
+
+Runs on 8 virtual CPU devices (conftest). This is the framework's
+distributed-correctness test: halo exchange (ppermute), band addressing,
+all_gather display assembly, psum telemetry.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_raytracer.models import scenes
+from tpu_raytracer.parallel import tiles
+from tpu_raytracer.render import camera as camera_mod
+from tpu_raytracer.render import pipeline, renderer
+
+
+def test_tiled_matches_single_chip():
+    assert len(jax.devices()) == 8
+    scene = scenes.create_cornell_box()
+    mesh = tiles.make_mesh()
+    w = h = 64
+
+    cam = camera_mod.CameraController()
+    state = tiles.shard_state(pipeline.init_state(w, h), mesh)
+    scene_r = tiles.replicate(scene, mesh)
+    render = tiles.make_render_frame_tiled(mesh, w, h)
+    for frame in range(2):
+        uniform = tiles.replicate(
+            renderer.camera_to_device(cam.uniform(1.0, frame, scene.num_lights)),
+            mesh)
+        ldr, state, aux = render(scene_r, uniform, jnp.uint32(frame), state)
+    tiled = np.asarray(ldr)
+
+    cam1 = camera_mod.CameraController()
+    state1 = pipeline.init_state(w, h)
+    for frame in range(2):
+        uniform1 = renderer.camera_to_device(
+            cam1.uniform(1.0, frame, scene.num_lights))
+        ldr1, _, state1, aux1 = pipeline.render_frame(
+            scene, uniform1, jnp.uint32(frame), state1, w, h)
+    single = np.asarray(ldr1)
+
+    assert np.isnan(tiled).sum() == 0
+    # identical modulo float reassociation across the halo boundary
+    assert np.abs(tiled - single).max() < 1e-5
+    assert float(aux["rays"]) > 0
+    assert abs(float(aux["rays"]) - float(aux1["rays"])) < 1e-3

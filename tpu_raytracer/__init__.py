@@ -14,3 +14,16 @@ import jax as _jax
 # Geometry math needs true f32: TPU matmuls otherwise default to bf16 passes,
 # which destroys e.g. the inverse-projection w cancellation (0.01 -> 0).
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Frame pipelines are large programs compiled over a remote-tunnel TPU;
+# persist compilations across processes.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "TPU_RAYTRACER_CACHE", _os.path.expanduser("~/.cache/tpu_raytracer_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass

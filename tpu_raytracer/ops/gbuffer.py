@@ -26,11 +26,18 @@ T_MIN = 1e-3
 T_MAX = 1000.0  # gbuffer.wgsl:109
 
 
-def generate_primary_rays(camera, width: int, height: int):
-    """gbuffer.wgsl:96-105. Returns (origins [R,3], dirs [R,3])."""
+def generate_primary_rays(camera, width: int, height: int, y0=0, band_h=None):
+    """gbuffer.wgsl:96-105. Returns (origins [R,3], dirs [R,3]).
+
+    With y0/band_h, generates rays only for image rows [y0, y0+band_h) -
+    the tile-sharded path (each device owns a row band).
+    """
+    if band_h is None:
+        band_h = height
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
-    u, v = jnp.meshgrid(xs, ys, indexing="xy")  # [H, W]
+    ys = (jnp.asarray(y0, jnp.float32)
+          + jnp.arange(band_h, dtype=jnp.float32) + 0.5) / height
+    u, v = jnp.meshgrid(xs, ys, indexing="xy")  # [band_h, W]
     ndc_x = (u * 2.0 - 1.0).reshape(-1)
     ndc_y = (1.0 - v * 2.0).reshape(-1)
 
@@ -44,9 +51,10 @@ def generate_primary_rays(camera, width: int, height: int):
     return origins, direction
 
 
-def render_gbuffer(scene, camera, width: int, height: int) -> dict:
+def render_gbuffer(scene, camera, width: int, height: int, y0=0,
+                   band_h=None) -> dict:
     """Returns the flat G-buffer dict consumed by trace_path / ReSTIR."""
-    ray_o, ray_d = generate_primary_rays(camera, width, height)
+    ray_o, ray_d = generate_primary_rays(camera, width, height, y0, band_h)
     res = scene_trace(scene, ray_o, ray_d, T_MIN, T_MAX)
     valid = res["tri"] >= 0
 

@@ -162,9 +162,13 @@ def trace_brute_pallas(tri_planes, ray_o, ray_d, t_min, t_max,
     grid = (rp // BR,)
     kernel = functools.partial(_mt_kernel, num_chunks=num_chunks,
                                any_hit=any_hit)
+    # CPU backend (tests / multi-chip dry runs on virtual devices) runs the
+    # kernel in the Pallas interpreter; TPU compiles via Mosaic.
+    interpret = jax.default_backend() != "tpu"
     t, idx, uvf = pl.pallas_call(
         kernel,
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((8, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 3, tp), lambda b: (0, 0, 0),

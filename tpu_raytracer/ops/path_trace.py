@@ -48,7 +48,7 @@ def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights):
     """
     r = pos.shape[0]
     if num_lights == 0:
-        return state, jnp.zeros((r, 3), jnp.float32)
+        return state, jnp.zeros((r, 3), jnp.float32), jnp.float32(0.0)
 
     state, r_pick = rng.rand_if(state, active)
     light_idx = jnp.floor(r_pick * num_lights).astype(jnp.int32)
@@ -87,7 +87,8 @@ def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights):
         ls["emission"][:, :3] * ls["emission"][:, 3:4]
         * f * (g * weight)[:, None]
     )
-    return state, jnp.where(visible[:, None], contrib, 0.0)
+    n_rays = jnp.sum(shadow_active.astype(jnp.float32))
+    return state, jnp.where(visible[:, None], contrib, 0.0), n_rays
 
 
 def trace_path(scene, gb, view_pos, seed):
@@ -145,8 +146,9 @@ def trace_path(scene, gb, view_pos, seed):
     is_glass_primary = mat["transmission"] > 0.01
     is_specular0 = is_glass_primary | (mat["roughness"] < 0.05)
     nee_mask = active & ~is_specular0
-    state, direct = _nee(scene, state, nee_mask, pos, ffnormal, wo, mat,
-                         base_color, num_lights)
+    state, direct, nee_rays = _nee(scene, state, nee_mask, pos, ffnormal, wo,
+                                   mat, base_color, num_lights)
+    ray_count = nee_rays
     accumulated = accumulated + jnp.where(nee_mask[:, None], direct, 0.0) * throughput
     previous_was_diffuse = nee_mask
 
@@ -175,6 +177,7 @@ def trace_path(scene, gb, view_pos, seed):
         next_dir=next_dir, last_bsdf_pdf=last_bsdf_pdf,
         previous_was_diffuse=previous_was_diffuse,
         valid_v1=valid_v1, v1_pos=v1_pos, v1_normal=v1_normal,
+        ray_count=ray_count,
     )
 
     def body(depth, c):
@@ -200,6 +203,7 @@ def trace_path(scene, gb, view_pos, seed):
             math3d.dot(c["ffnormal"], next_dir, keepdims=True)
         ) * c["ffnormal"]
         origin = c["pos"] + offset_dir * 1e-3
+        ray_count = c["ray_count"] + jnp.sum(active.astype(jnp.float32))
         res = scene_trace(scene, origin, next_dir, T_MIN, T_MAX, active=active)
         active = active & (res["tri"] >= 0)
 
@@ -257,8 +261,9 @@ def trace_path(scene, gb, view_pos, seed):
         # NEE (restir.wgsl:702-724) - note primary glass flag quirk
         is_specular_b = is_glass_primary | (mat["roughness"] < 0.05)
         nee_mask = active & ~is_specular_b
-        state, direct = _nee(scene, state, nee_mask, h["pos"], ffnormal, wo,
-                             mat, base_color, num_lights)
+        state, direct, nee_rays = _nee(scene, state, nee_mask, h["pos"],
+                                       ffnormal, wo, mat, base_color, num_lights)
+        ray_count = ray_count + nee_rays
         accumulated = accumulated + jnp.where(nee_mask[:, None], direct, 0.0) * throughput
         previous_was_diffuse = jnp.where(active, nee_mask, c["previous_was_diffuse"])
 
@@ -276,6 +281,7 @@ def trace_path(scene, gb, view_pos, seed):
             next_dir=sc["wi"], last_bsdf_pdf=sc["pdf"],
             previous_was_diffuse=previous_was_diffuse,
             valid_v1=valid_v1, v1_pos=v1_pos, v1_normal=v1_normal,
+            ray_count=ray_count,
         )
 
     carry = jax.lax.fori_loop(1, MAX_DEPTH, body, carry)
@@ -285,4 +291,6 @@ def trace_path(scene, gb, view_pos, seed):
         "valid_v1": carry["valid_v1"],
         "v1_pos": carry["v1_pos"],
         "v1_normal": carry["v1_normal"],
+        # exact traversal-query count (bounce + shadow rays), for Mrays/s
+        "rays": carry["ray_count"],
     }

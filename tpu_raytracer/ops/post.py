@@ -1,11 +1,11 @@
 """Post pass: joint bilateral filter, variance-clipped TAA / progressive
 accumulation, reversible tonemap, gamma encode.
 
-Vectorized port of post.wgsl:61-282 operating on [H, W, C] arrays:
+Vectorized port of post.wgsl:61-282:
   - 5x5 joint bilateral over the HDR input, weighted by spatial Gaussian
     (sigma 1.5), albedo similarity (sigma 0.2), normal^20, position
-    (sigma 0.1) (post.wgsl:85-141); stencils are pad+shift sums - no
-    gathers on TPU.
+    (sigma 0.1) (post.wgsl:85-141); stencils are roll+mask sums over
+    image-shaped arrays - no gathers on TPU.
   - 3x3 variance clipping statistics in YCoCg of reversibly-tonemapped
     color, gamma 1.2 (post.wgsl:143-177).
   - history reprojection through per-pixel motion vectors with manual
@@ -17,6 +17,10 @@ Vectorized port of post.wgsl:61-282 operating on [H, W, C] arrays:
   - inverse tonemap back to linear HDR for the accumulation buffer;
     gamma-2.2 encode for display (post.wgsl:269-281).
 
+All neighbor reads run on BandViews (parallel/views.py): single-chip uses
+the trivial full-image view; the sharded path feeds ppermute-halo-extended
+bands (stencils need halo >= 2; history reprojection uses the full halo).
+
 The reference's TAA camera jitter is disabled upstream exactly like the
 reference (camera.rs:202-203 multiplies the Halton jitter by zero), so the
 unjitter resampling path (post.wgsl:73-77) reduces to identity and is
@@ -25,7 +29,11 @@ omitted here.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
+
+from ..utils import math3d
 
 SIGMA_SPATIAL = 1.5
 SIGMA_COLOR = 0.2
@@ -61,115 +69,132 @@ def resolve_inverse_tonemap(c):
     return c / jnp.maximum(1.0 - jnp.max(c, axis=-1, keepdims=True), 1e-4)
 
 
-def _shift2d(img, dy, dx):
-    """Shift with zero fill; also returns the validity mask of the shift."""
-    h, w = img.shape[0], img.shape[1]
-    out = jnp.roll(img, (-dy, -dx), axis=(0, 1))
-    ys = jnp.arange(h)[:, None] + dy
-    xs = jnp.arange(w)[None, :] + dx
-    valid = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
-    return out, valid
+class _Stencil:
+    """Shifted-window reader over a BandView for static (dy, dx) offsets.
+
+    Returns center-band-shaped [band_h, W, C] values + validity; wraps from
+    jnp.roll are masked by global image bounds (single chip) or always land
+    outside the sliced center when halo >= |offset| (sharded bands).
+    """
+
+    def __init__(self, view, ctx):
+        self.ext = view.as_2d()
+        self.halo = view.halo
+        self.band_h = ctx["band_h"]
+        self.width = ctx["width"]
+        self.height = ctx["height"]
+        self.y0 = ctx["y0"]
+
+    def tap(self, dy: int, dx: int):
+        rolled = jnp.roll(self.ext, (-dy, -dx), axis=(0, 1))
+        center = rolled[self.halo:self.halo + self.band_h]
+        gy = self.y0 + jnp.arange(self.band_h, dtype=jnp.int32)[:, None] + dy
+        gx = jnp.arange(self.width, dtype=jnp.int32)[None, :] + dx
+        valid = (gy >= 0) & (gy < self.height) & (gx >= 0) & (gx < self.width)
+        return center, valid
 
 
-def bilateral_filter(hdr, albedo, normal, pos):
-    """5x5 joint bilateral (post.wgsl:85-141). All inputs [H, W, 3]."""
+def post_process(hdr_view, gb, gb_views, history_view, frame_count, ctx):
+    """Full post pass over one band.
+
+    Args:
+      hdr_view: BandView of the spatial-pass HDR output (halo >= 2 when
+        sharded).
+      gb: this band's flat G-buffer (motion used directly).
+      gb_views: BandViews of albedo / oct_normal / pos (stencil weights).
+      history_view: BandView of the accumulation buffer (reprojection taps).
+      frame_count: scalar; the SPP counter (resets on camera motion).
+      ctx: band context from restir.make_ctx.
+
+    Returns (ldr_flat [n,3] gamma-encoded, new_accum_flat [n,3] linear HDR).
+    """
+    band_h, width, height = ctx["band_h"], ctx["width"], ctx["height"]
+    frame = jnp.asarray(frame_count, jnp.float32)
+
+    s_hdr = _Stencil(hdr_view, ctx)
+    s_alb = _Stencil(gb_views["albedo"], ctx)
+    s_nrm = _Stencil(gb_views["oct_normal"], ctx)
+    s_pos = _Stencil(gb_views["pos"], ctx)
+
+    hdr, _ = s_hdr.tap(0, 0)
+    albedo, _ = s_alb.tap(0, 0)
+    normal = math3d.oct_decode(s_nrm.tap(0, 0)[0])
+    pos, _ = s_pos.tap(0, 0)
+
+    # ---- 5x5 joint bilateral (post.wgsl:85-141) ----
     sum_color = jnp.zeros_like(hdr)
     sum_weight = jnp.zeros(hdr.shape[:2], hdr.dtype)
     for dy in range(-KERNEL_RADIUS, KERNEL_RADIUS + 1):
         for dx in range(-KERNEL_RADIUS, KERNEL_RADIUS + 1):
-            s_col, ok = _shift2d(hdr, dy, dx)
-            s_alb, _ = _shift2d(albedo, dy, dx)
-            s_nrm, _ = _shift2d(normal, dy, dx)
-            s_pos, _ = _shift2d(pos, dy, dx)
+            c, ok = s_hdr.tap(dy, dx)
+            a, _ = s_alb.tap(dy, dx)
+            ne, _ = s_nrm.tap(dy, dx)
+            p, _ = s_pos.tap(dy, dx)
+            nrm = math3d.oct_decode(ne)
 
-            import math
             w_spatial = math.exp(-(dx * dx + dy * dy)
                                  / (2.0 * SIGMA_SPATIAL ** 2))
-            dc = s_alb - albedo
+            dc = a - albedo
             w_color = _gauss(jnp.sum(dc * dc, -1), SIGMA_COLOR)
-            dn = jnp.clip(jnp.sum(s_nrm * normal, -1), 0.0, 1.0)
+            dn = jnp.clip(jnp.sum(nrm * normal, -1), 0.0, 1.0)
             w_normal = dn ** 20
-            dp = s_pos - pos
+            dp = p - pos
             w_pos = _gauss(jnp.sum(dp * dp, -1), SIGMA_POS)
 
             w = w_spatial * w_color * w_normal * w_pos * ok
-            sum_color = sum_color + s_col * w[..., None]
+            sum_color = sum_color + c * w[..., None]
             sum_weight = sum_weight + w
     filtered = jnp.where((sum_weight > 1e-3)[..., None],
                          sum_color / jnp.maximum(sum_weight, 1e-3)[..., None],
                          hdr)
-    return filtered
 
-
-def variance_bounds(hdr, filtered):
-    """3x3 YCoCg moments of tonemapped color (post.wgsl:143-177)."""
+    # ---- 3x3 YCoCg variance bounds (post.wgsl:143-177) ----
     m1 = jnp.zeros_like(hdr)
     m2 = jnp.zeros_like(hdr)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            s_col, ok = _shift2d(hdr, dy, dx)
-            s_col = jnp.where(ok[..., None], s_col, filtered)
-            s = rgb_to_ycocg(resolve_tonemap(s_col))
+            c, ok = s_hdr.tap(dy, dx)
+            c = jnp.where(ok[..., None], c, filtered)
+            s = rgb_to_ycocg(resolve_tonemap(c))
             m1 = m1 + s
             m2 = m2 + s * s
     m1 = m1 / 9.0
     m2 = m2 / 9.0
     sigma = jnp.sqrt(jnp.maximum(m2 - m1 * m1, 0.0))
-    return m1 - VARIANCE_GAMMA * sigma, m1 + VARIANCE_GAMMA * sigma
+    c_min = m1 - VARIANCE_GAMMA * sigma
+    c_max = m1 + VARIANCE_GAMMA * sigma
 
+    tm_filtered = resolve_tonemap(filtered)
 
-def reproject_history(history, motion, width: int, height: int):
-    """Manual bilinear tap of the accumulation buffer at uv+motion
-    (post.wgsl:187-228). history [H*W, 3] flat; motion [H, W, 2].
-
-    Returns (history_color_tm [H, W, 3] tonemapped, valid [H, W]).
-    """
-    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+    # ---- history reprojection (post.wgsl:180-228) ----
+    motion = gb["motion"].reshape(band_h, width, 2)
+    gy = ctx["y0"] + jnp.arange(band_h, dtype=jnp.int32)
+    ys, xs = jnp.meshgrid(gy.astype(jnp.float32),
                           jnp.arange(width, dtype=jnp.float32), indexing="ij")
     uv_x = (xs + 0.5) / width + motion[..., 0]
     uv_y = (ys + 0.5) / height + motion[..., 1]
-    valid = (uv_x >= 0.0) & (uv_x <= 1.0) & (uv_y >= 0.0) & (uv_y <= 1.0)
+    hist_valid = (uv_x >= 0.0) & (uv_x <= 1.0) & (uv_y >= 0.0) & (uv_y <= 1.0)
 
     px = uv_x * width - 0.5
     py = uv_y * height - 0.5
     x0 = jnp.floor(px).astype(jnp.int32)
-    y0 = jnp.floor(py).astype(jnp.int32)
+    y0i = jnp.floor(py).astype(jnp.int32)
     fx = (px - x0.astype(jnp.float32))[..., None]
-    fy = (py - y0.astype(jnp.float32))[..., None]
+    fy = (py - y0i.astype(jnp.float32))[..., None]
 
-    def tap(yy, xx):
-        ok = (xx >= 0) & (xx < width) & (yy >= 0) & (yy < height)
-        idx = jnp.clip(yy, 0, height - 1) * width + jnp.clip(xx, 0, width - 1)
-        c = history[idx.reshape(-1)].reshape(height, width, 3)
-        return jnp.where(ok[..., None], resolve_tonemap(c), 0.0)
+    def hist_tap(yy, xx):
+        c, ok = history_view.read(yy.reshape(-1), xx.reshape(-1))
+        c = jnp.where(ok[:, None], resolve_tonemap(c), 0.0)
+        return c.reshape(band_h, width, 3)
 
-    c00 = tap(y0, x0)
-    c10 = tap(y0, x0 + 1)
-    c01 = tap(y0 + 1, x0)
-    c11 = tap(y0 + 1, x0 + 1)
+    c00 = hist_tap(y0i, x0)
+    c10 = hist_tap(y0i, x0 + 1)
+    c01 = hist_tap(y0i + 1, x0)
+    c11 = hist_tap(y0i + 1, x0 + 1)
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy, valid
+    hist_tm = top * (1 - fy) + bot * fy
 
-
-def post_process(hdr_flat, history_flat, gb, frame_count, width: int,
-                 height: int):
-    """Full post pass. Returns (ldr_flat [n,3] gamma-encoded,
-    new_accumulation_flat [n,3] linear HDR)."""
-    from ..utils import math3d
-
-    hdr = hdr_flat.reshape(height, width, 3)
-    albedo = gb["albedo"].reshape(height, width, 3)
-    normal = math3d.oct_decode(gb["oct_normal"]).reshape(height, width, 3)
-    pos = gb["pos"].reshape(height, width, 3)
-    motion = gb["motion"].reshape(height, width, 2)
-    frame = jnp.asarray(frame_count, jnp.float32)
-
-    filtered = bilateral_filter(hdr, albedo, normal, pos)
-    c_min, c_max = variance_bounds(hdr, filtered)
-    tm_filtered = resolve_tonemap(filtered)
-
-    hist_tm, hist_valid = reproject_history(history_flat, motion, width, height)
     hist_valid = hist_valid & (frame > 0.0)
     hist_tm = jnp.where(hist_valid[..., None], hist_tm, tm_filtered)
 

@@ -10,9 +10,15 @@ The reference's ping-pong reservoir buffers (restir.rs:362-378 fixed
 read/write flow) become pure dataflow: temporal consumes last frame's
 spatial output and returns a fresh reservoir set.
 
+All neighbor-pixel reads (temporal reprojection, spatial disk taps) go
+through `BandView`s (parallel/views.py), so the same code runs single-chip
+and row-band-sharded across a device mesh with ppermute halo exchange;
+reads beyond the halo simply drop reuse for that lane.
+
 RNG streams: candidate seeds come from `pcg_hash(pixel + frame * 927163)`
 (restir.wgsl:797); reuse logic draws from the separate raw-LCG stream
-(restir.wgsl:781-786, rand_lcg) - both reproduced bit-exactly.
+(restir.wgsl:781-786, rand_lcg) - both reproduced bit-exactly with GLOBAL
+pixel indices (band-invariant: sharding does not change the image).
 """
 
 from __future__ import annotations
@@ -25,6 +31,25 @@ from . import path_trace
 MAX_M_TEMPORAL = 16   # restir.wgsl:851
 MAX_M_SPATIAL = 20    # restir_spatial.wgsl:893,989
 MAX_W = 20.0          # restir_spatial.wgsl:1005
+
+
+def make_ctx(width: int, height: int, y0=0, band_h=None) -> dict:
+    return {
+        "y0": jnp.asarray(y0, jnp.int32),
+        "width": width,
+        "height": height,
+        "band_h": height if band_h is None else band_h,
+    }
+
+
+def _global_coords(ctx):
+    """Per-lane global pixel coords + flat index for the band."""
+    n = ctx["band_h"] * ctx["width"]
+    local = jnp.arange(n, dtype=jnp.int32)
+    gx = local % ctx["width"]
+    gy = ctx["y0"] + local // ctx["width"]
+    gidx = (gy * ctx["width"] + gx).astype(jnp.uint32)
+    return gx, gy, gidx
 
 
 def empty_reservoirs(n: int) -> dict:
@@ -69,9 +94,10 @@ def _is_valid_neighbor_temporal(curr_pos, curr_normal, curr_mat,
 def _is_valid_neighbor_spatial(scene, curr_pos, curr_normal, curr_mat,
                                n_pos, n_normal, n_mat, camera_pos):
     """restir_spatial.wgsl:783-814 (specular-aware thresholds)."""
-    mat_rough = scene.materials["roughness"][jnp.maximum(curr_mat, 0)]
-    mat_metal = scene.materials["metallic"][jnp.maximum(curr_mat, 0)]
-    mat_trans = scene.materials["transmission"][jnp.maximum(curr_mat, 0)]
+    mid = jnp.maximum(curr_mat, 0)
+    mat_rough = scene.materials["roughness"][mid]
+    mat_metal = scene.materials["metallic"][mid]
+    mat_trans = scene.materials["transmission"][mid]
     is_specular = (mat_rough < 0.2) | (mat_metal > 0.8) | (mat_trans > 0.01)
 
     ok = curr_mat == n_mat
@@ -86,16 +112,23 @@ def _is_valid_neighbor_spatial(scene, curr_pos, curr_normal, curr_mat,
     return ok & jnp.where(is_specular, spec_ok, diff_ok)
 
 
-def restir_temporal(scene, gb, prev_gb, prev_reservoirs, camera, frame_count,
-                    width: int, height: int):
-    """Candidate generation + temporal reuse. Returns new reservoirs."""
-    n = width * height
-    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+def restir_temporal(scene, gb, prev_gb_views, prev_res_views, camera,
+                    frame_count, ctx):
+    """Candidate generation + temporal reuse.
+
+    Returns (reservoirs, ray_count).
+
+    prev_gb_views / prev_res_views: dicts of BandView over last frame's
+    G-buffer / spatial reservoirs.
+    """
+    width, height = ctx["width"], ctx["height"]
+    gx, gy, gidx = _global_coords(ctx)
     frame = jnp.asarray(frame_count, jnp.uint32)
-    seed_base = pixel_idx + frame * jnp.uint32(927163)
+    seed_base = gidx + frame * jnp.uint32(927163)
     seed_candidate = rng.pcg_hash(seed_base)
     local_seed = seed_base
 
+    n = gx.shape[0]
     valid = gb["valid"]
     res = empty_reservoirs(n)
 
@@ -107,23 +140,20 @@ def restir_temporal(scene, gb, prev_gb, prev_reservoirs, camera, frame_count,
     res["W"] = jnp.where(valid & (p_hat > 0.0), 1.0, 0.0)
 
     # Phase 2: temporal reuse (restir.wgsl:846-899)
-    xs = pixel_idx % jnp.uint32(width)
-    ys = pixel_idx // jnp.uint32(width)
-    uv = jnp.stack([(xs.astype(jnp.float32) + 0.5) / width,
-                    (ys.astype(jnp.float32) + 0.5) / height], axis=-1)
+    uv = jnp.stack([(gx.astype(jnp.float32) + 0.5) / width,
+                    (gy.astype(jnp.float32) + 0.5) / height], axis=-1)
     prev_uv = uv + gb["motion"]
     in_screen = ((prev_uv[:, 0] >= 0.0) & (prev_uv[:, 0] <= 1.0)
                  & (prev_uv[:, 1] >= 0.0) & (prev_uv[:, 1] <= 1.0))
     prev_x = (prev_uv[:, 0] * width).astype(jnp.int32)
     prev_y = (prev_uv[:, 1] * height).astype(jnp.int32)
-    prev_x = jnp.clip(prev_x, 0, width - 1)
-    prev_y = jnp.clip(prev_y, 0, height - 1)
-    prev_idx = prev_y * width + prev_x
 
-    p_pos = prev_gb["pos"][prev_idx]
-    p_norm = math3d.oct_decode(prev_gb["oct_normal"][prev_idx])
-    p_mat = prev_gb["mat_id"][prev_idx]
-    p_valid = prev_gb["valid"][prev_idx]
+    p_pos, cov = prev_gb_views["pos"].read(prev_y, prev_x)
+    p_norm_e, _ = prev_gb_views["oct_normal"].read(prev_y, prev_x)
+    p_norm = math3d.oct_decode(p_norm_e)
+    p_mat, _ = prev_gb_views["mat_id"].read(prev_y, prev_x)
+    p_valid, _ = prev_gb_views["valid"].read(prev_y, prev_x)
+    p_albedo, _ = prev_gb_views["albedo"].read(prev_y, prev_x)
     c_norm = math3d.oct_decode(gb["oct_normal"])
 
     mid = jnp.maximum(gb["mat_id"], 0)
@@ -134,19 +164,19 @@ def restir_temporal(scene, gb, prev_gb, prev_reservoirs, camera, frame_count,
     geo_ok = _is_valid_neighbor_temporal(
         gb["pos"], c_norm, gb["mat_id"], p_pos, p_norm, p_mat,
         camera["view_pos"][:3])
-    reuse = valid & in_screen & p_valid & geo_ok & ~is_specular
+    reuse = valid & in_screen & cov & p_valid & geo_ok & ~is_specular
 
     # albedo-luminance correction (restir.wgsl:879-898)
     l_curr = math3d.luminance(gb["albedo"]) + 1e-3
-    l_prev = math3d.luminance(prev_gb["albedo"][prev_idx]) + 1e-3
+    l_prev = math3d.luminance(p_albedo) + 1e-3
     albedo_ratio = l_curr / l_prev
     reuse &= (albedo_ratio < 3.0) & (albedo_ratio > 0.33)
 
-    prev_y_seed = prev_reservoirs["y"][prev_idx]
-    prev_w = prev_reservoirs["W"][prev_idx]
-    prev_m = prev_reservoirs["M"][prev_idx]
-    prev_phat = prev_reservoirs["p_hat"][prev_idx]
-    prev_spath = prev_reservoirs["s_path"][prev_idx]
+    prev_y_seed, _ = prev_res_views["y"].read(prev_y, prev_x)
+    prev_w, _ = prev_res_views["W"].read(prev_y, prev_x)
+    prev_m, _ = prev_res_views["M"].read(prev_y, prev_x)
+    prev_phat, _ = prev_res_views["p_hat"].read(prev_y, prev_x)
+    prev_spath, _ = prev_res_views["s_path"].read(prev_y, prev_x)
 
     p_hat_new = prev_phat * albedo_ratio
     reuse &= p_hat_new > 0.0
@@ -165,12 +195,12 @@ def restir_temporal(scene, gb, prev_gb, prev_reservoirs, camera, frame_count,
                          * (res["w_sum"] / m_f), 0.0)
     res["p_hat"] = jnp.where(w_ok, res["p_hat"], 0.0)
     # background lanes cleared (restir.wgsl:805-811)
-    for k in ("y",):
-        res[k] = jnp.where(valid, res[k], 0)
+    res["y"] = jnp.where(valid, res["y"], 0)
     for k in ("w_sum", "W", "p_hat"):
         res[k] = jnp.where(valid, res[k], 0.0)
     res["M"] = jnp.where(valid, res["M"], 0)
-    return res
+    res["s_path"] = jnp.where(valid[:, None], res["s_path"], 0.0)
+    return res, pr["rays"]
 
 
 def _calculate_jacobian(curr_pos, curr_normal, curr_albedo,
@@ -189,18 +219,22 @@ def _calculate_jacobian(curr_pos, curr_normal, curr_albedo,
     return jnp.where(cos_neigh <= 1e-3, 0.0, jac)
 
 
-def restir_spatial(scene, gb, in_reservoirs, camera, frame_count,
-                   width: int, height: int):
+def restir_spatial(scene, gb, gb_views, in_reservoirs, in_res_views, camera,
+                   frame_count, ctx):
     """Spatial reuse + final seed replay + shade.
 
-    Returns (out_reservoirs, hdr_radiance [n,3]).
+    gb_views / in_res_views: BandViews over the CURRENT frame's G-buffer and
+    the temporal reservoirs (neighbor taps up to 10 px, restir_spatial
+    .wgsl:903).
+
+    Returns (out_reservoirs, hdr_radiance [n,3], ray_count).
     """
     from .trace_api import scene_occluded
 
-    n = width * height
-    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    width, height = ctx["width"], ctx["height"]
+    gx, gy, gidx = _global_coords(ctx)
     frame = jnp.asarray(frame_count, jnp.uint32)
-    seed_init = pixel_idx + frame * jnp.uint32(0x12345678)
+    seed_init = gidx + frame * jnp.uint32(0x12345678)
     local_seed = seed_init
 
     valid = gb["valid"]
@@ -224,9 +258,7 @@ def restir_spatial(scene, gb, in_reservoirs, camera, frame_count,
         over, res["w_sum"] * MAX_M_SPATIAL / jnp.maximum(res["M"], 1), res["w_sum"])
     res["M"] = jnp.minimum(res["M"], MAX_M_SPATIAL)
 
-    xs = (pixel_idx % jnp.uint32(width)).astype(jnp.int32)
-    ys = (pixel_idx // jnp.uint32(width)).astype(jnp.int32)
-
+    ray_count = jnp.float32(0.0)
     for i in range(5):
         it_active = valid & (i < num_neighbors)
         local_seed, r1 = rng.rand_lcg_if(local_seed, it_active)
@@ -235,26 +267,25 @@ def restir_spatial(scene, gb, in_reservoirs, camera, frame_count,
         rad = jnp.sqrt(r2) * radius
         ox = (jnp.cos(angle) * rad).astype(jnp.int32)
         oy = (jnp.sin(angle) * rad).astype(jnp.int32)
-        nx = xs + ox
-        ny = ys + oy
-        in_bounds = (nx >= 0) & (nx < width) & (ny >= 0) & (ny < height)
-        n_idx = jnp.clip(ny, 0, height - 1) * width + jnp.clip(nx, 0, width - 1)
+        nx = gx + ox
+        ny = gy + oy
 
-        n_valid = gb["valid"][n_idx]
-        n_pos = gb["pos"][n_idx]
-        n_norm = math3d.oct_decode(gb["oct_normal"][n_idx])
-        n_mat = gb["mat_id"][n_idx]
-        n_alb = gb["albedo"][n_idx]
+        n_valid, cov = gb_views["valid"].read(ny, nx)
+        n_pos, _ = gb_views["pos"].read(ny, nx)
+        n_norm_e, _ = gb_views["oct_normal"].read(ny, nx)
+        n_norm = math3d.oct_decode(n_norm_e)
+        n_mat, _ = gb_views["mat_id"].read(ny, nx)
+        n_alb, _ = gb_views["albedo"].read(ny, nx)
 
-        ok = it_active & in_bounds & n_valid
+        ok = it_active & cov & n_valid
         ok &= _is_valid_neighbor_spatial(
             scene, pos, normal, mat_id, n_pos, n_norm, n_mat, camera_pos)
 
-        nb_y = in_reservoirs["y"][n_idx]
-        nb_w = in_reservoirs["W"][n_idx]
-        nb_m = in_reservoirs["M"][n_idx]
-        nb_phat = in_reservoirs["p_hat"][n_idx]
-        nb_spath = in_reservoirs["s_path"][n_idx]
+        nb_y, _ = in_res_views["y"].read(ny, nx)
+        nb_w, _ = in_res_views["W"].read(ny, nx)
+        nb_m, _ = in_res_views["M"].read(ny, nx)
+        nb_phat, _ = in_res_views["p_hat"].read(ny, nx)
+        nb_spath, _ = in_res_views["s_path"].read(ny, nx)
         ok &= nb_phat > 0.0
 
         jac = _calculate_jacobian(pos, normal, albedo, nb_spath, n_pos,
@@ -267,6 +298,7 @@ def restir_spatial(scene, gb, in_reservoirs, camera, frame_count,
         facing = math3d.dot(normal, dir_to_v1) > 0.0
         far_enough = dist_to_v1 > 1e-3
         shadow_active = ok & facing & far_enough
+        ray_count = ray_count + jnp.sum(shadow_active.astype(jnp.float32))
         blocked = scene_occluded(
             scene, pos, dir_to_v1 / jnp.maximum(dist_to_v1, 1e-12)[:, None],
             1e-3, jnp.maximum(dist_to_v1 * 0.999, 0.0), active=shadow_active)
@@ -295,4 +327,4 @@ def restir_spatial(scene, gb, in_reservoirs, camera, frame_count,
     res["M"] = jnp.where(valid, res["M"], 0)
     res["y"] = jnp.where(valid, res["y"], 0)
     res["s_path"] = jnp.where(valid[:, None], res["s_path"], 0.0)
-    return res, hdr
+    return res, hdr, ray_count + final["rays"]

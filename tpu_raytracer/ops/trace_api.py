@@ -10,18 +10,77 @@ so each jitted pipeline contains exactly one intersector.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+
 from . import pallas_trace, traversal
 
 # Above this many triangles the BVH pointer walk wins over brute force.
 BRUTE_FORCE_MAX_TRIS = 65536
 
 
+def _trace_brute_xla(tri_planes, ray_o, ray_d, t_min, t_max, active=None):
+    """Compiled (non-Pallas) brute force for CPU backends: scan over
+    triangle chunks with a running arg-min. Semantics == pallas kernel."""
+    r = ray_o.shape[0]
+    tp = tri_planes.shape[2]
+    c = 128
+    tri = jnp.moveaxis(tri_planes.reshape(4, 3, tp // c, c), 2, 0)  # [n,4,3,c]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+
+    def body(carry, chunk):
+        t_best, idx_best, u_best, v_best, f_best, base = carry
+        v0 = chunk[0].T[None]  # [1, c, 3]
+        e1 = chunk[1].T[None]
+        e2 = chunk[2].T[None]
+        valid_t = chunk[3, 0] > 0.5
+        pvec = jnp.cross(ray_d[:, None, :], e2)
+        det = jnp.sum(e1 * pvec, -1)
+        ok = jnp.abs(det) > 1e-9
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        tvec = ray_o[:, None, :] - v0
+        u = jnp.sum(tvec * pvec, -1) * inv
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(ray_d[:, None, :] * qvec, -1) * inv
+        t = jnp.sum(e2 * qvec, -1) * inv
+        hit = (ok & valid_t[None] & (u >= 0) & (v >= 0) & (u + v <= 1)
+               & (t > t_min[:, None]) & (t < t_max[:, None])
+               & (t < t_best[:, None]))
+        t_cand = jnp.where(hit, t, jnp.float32(pallas_trace.INF))
+        lane = jnp.argmin(t_cand, axis=1)
+        rr = jnp.arange(r)
+        t_new = t_cand[rr, lane]
+        improved = t_new < t_best
+        t_best = jnp.where(improved, t_new, t_best)
+        idx_best = jnp.where(improved, base + lane.astype(jnp.int32), idx_best)
+        u_best = jnp.where(improved, u[rr, lane], u_best)
+        v_best = jnp.where(improved, v[rr, lane], v_best)
+        f_best = jnp.where(improved, det[rr, lane] > 0, f_best)
+        return (t_best, idx_best, u_best, v_best, f_best, base + c), None
+
+    init = (jnp.full((r,), pallas_trace.INF, jnp.float32),
+            jnp.full((r,), -1, jnp.int32),
+            jnp.zeros((r,), jnp.float32), jnp.zeros((r,), jnp.float32),
+            jnp.zeros((r,), jnp.bool_), jnp.int32(0))
+    (t_best, idx_best, u_best, v_best, f_best, _), _ = jax.lax.scan(
+        body, init, tri)
+    missed = idx_best < 0
+    return {"t": jnp.where(missed, jnp.float32(pallas_trace.INF), t_best),
+            "tri": idx_best, "u": u_best, "v": v_best, "front": f_best}
+
+
 def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None):
     """Closest-hit (any_hit=False) or occlusion-style first-hit query."""
     if scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS:
-        return pallas_trace.trace_brute_pallas(
-            scene.tri_planes, ray_o, ray_d, t_min, t_max,
-            any_hit=any_hit, active=active)
+        if jax.default_backend() == "tpu":
+            return pallas_trace.trace_brute_pallas(
+                scene.tri_planes, ray_o, ray_d, t_min, t_max,
+                any_hit=any_hit, active=active)
+        return _trace_brute_xla(scene.tri_planes, ray_o, ray_d, t_min, t_max,
+                                active=active)
     return traversal.trace(
         scene.bvh_rec, scene.bvh_skip, scene.bvh_tri,
         ray_o, ray_d, t_min, t_max, any_hit=any_hit, active=active)

@@ -1,0 +1,100 @@
+"""Band/halo views: the addressing layer that makes every render op work
+identically on one chip or on a row-band-sharded device mesh.
+
+The screen is sharded across devices as horizontal row bands (row-major
+flat arrays split on the leading axis = contiguous bands). Ops that read
+NEIGHBOR pixels (temporal reprojection, spatial ReSTIR, post stencils,
+history bilinear taps) read through a `BandView`: a flat array covering
+rows [y0 - halo, y0 + band_h + halo) of the full image plus the global
+geometry needed to mask out-of-coverage reads.
+
+Single-chip is the trivial view (y0 = 0, halo = 0, band = full height), so
+there is exactly ONE implementation of every pass. Out-of-halo reads (e.g.
+reprojection farther than the halo under fast motion) are reported invalid
+and the caller drops reuse for that lane - the documented halo-clamp
+policy (SURVEY.md §2.3 sequence-parallel analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["data", "y0"],
+         meta_fields=["width", "height", "band_h", "halo"])
+@dataclasses.dataclass
+class BandView:
+    """Flat neighbor-readable view of one image-space array.
+
+    data: [(band_h + 2*halo) * width, ...] flat rows (top halo first).
+    y0:   global row index of the band's first (non-halo) row (traced).
+    """
+    data: jax.Array
+    y0: jax.Array
+    width: int
+    height: int
+    band_h: int
+    halo: int
+
+    def read(self, gy, gx):
+        """Gather at global pixel coords (gy, gx) [R] int32.
+
+        Returns (values, valid): valid is False where the read falls outside
+        the view's coverage or outside the image.
+        """
+        local_row = gy - self.y0 + self.halo
+        in_cover = (local_row >= 0) & (local_row < self.band_h + 2 * self.halo)
+        in_image = (gy >= 0) & (gy < self.height) & (gx >= 0) & (gx < self.width)
+        valid = in_cover & in_image
+        idx = jnp.clip(local_row, 0, self.band_h + 2 * self.halo - 1) * self.width \
+            + jnp.clip(gx, 0, self.width - 1)
+        return self.data[idx], valid
+
+    def as_2d(self):
+        """[(band_h + 2*halo), width, ...] image-shaped view."""
+        trailing = self.data.shape[1:]
+        return self.data.reshape(self.band_h + 2 * self.halo, self.width, *trailing)
+
+
+def trivial_view(flat, width: int, height: int) -> BandView:
+    """Single-chip view: the full image, no halo."""
+    return BandView(data=flat, y0=jnp.int32(0), width=width, height=height,
+                    band_h=height, halo=0)
+
+
+def halo_exchange(flat_local, width: int, band_h: int, halo: int,
+                  axis_name: str, y0) -> BandView:
+    """Build a BandView from a band-local flat array inside shard_map.
+
+    Exchanges `halo` boundary rows with the neighboring devices on the
+    `axis_name` mesh axis via two `ppermute` shifts over ICI (the ring/halo
+    pattern standing in for sequence parallelism; SURVEY.md §2.3). Edge
+    devices receive zeros - masked out by BandView coverage checks anyway.
+    """
+    n = jax.lax.psum(1, axis_name)
+    trailing = flat_local.shape[1:]
+    img = flat_local.reshape(band_h, width, *trailing)
+
+    if halo == 0 or n == 1:
+        return BandView(data=flat_local, y0=y0, width=width,
+                        height=band_h * n, band_h=band_h, halo=0)
+
+    top_rows = img[:halo]        # sent downward (to device d-1's bottom halo)
+    bottom_rows = img[-halo:]    # sent upward   (to device d+1's top halo)
+    down_perm = [(i, i + 1) for i in range(n - 1)]
+    up_perm = [(i + 1, i) for i in range(n - 1)]
+    from_above = jax.lax.ppermute(bottom_rows, axis_name, down_perm)
+    from_below = jax.lax.ppermute(top_rows, axis_name, up_perm)
+    ext = jnp.concatenate([from_above, img, from_below], axis=0)
+    return BandView(data=ext.reshape(-1, *trailing), y0=y0, width=width,
+                    height=band_h * n, band_h=band_h, halo=halo)
+
+
+def gb_views(gb: dict, make_view) -> dict:
+    """Lift a G-buffer dict of flat arrays to a dict of BandViews."""
+    return {k: make_view(v) for k, v in gb.items()}

@@ -10,6 +10,10 @@ The whole frame is ONE jitted, donated function over a functional
 (gbuffer.rs:299, post.rs:209-224, restir.rs:362-378) become plain dataflow.
 The blit/letterbox raster pass (blit.wgsl) is display plumbing; its
 aspect-correct scaling lives in app/display helpers instead.
+
+Single-chip here; the row-band device-mesh version with ppermute halo
+exchange shares every pass implementation via BandViews - see
+parallel/tiles.py.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ import jax.numpy as jnp
 from ..ops import gbuffer as gbuffer_ops
 from ..ops import post as post_ops
 from ..ops import restir as restir_ops
+from ..parallel import views as views_mod
 
 
 def init_state(width: int, height: int) -> dict:
@@ -42,9 +47,36 @@ def init_state(width: int, height: int) -> dict:
     }
 
 
+def render_band(scene, camera, frame_count, state, ctx, make_view):
+    """One frame over one band; `make_view` lifts band-local flat arrays to
+    neighbor-readable BandViews (trivial on one chip, halo-exchanged on a
+    mesh). Shared by the single-chip and sharded pipelines."""
+    width, height = ctx["width"], ctx["height"]
+    n_primary = ctx["band_h"] * width
+    gb = gbuffer_ops.render_gbuffer(scene, camera, width, height,
+                                    y0=ctx["y0"], band_h=ctx["band_h"])
+    prev_gb_views = views_mod.gb_views(state["prev_gb"], make_view)
+    prev_res_views = views_mod.gb_views(state["reservoirs"], make_view)
+    reservoirs_t, rays_t = restir_ops.restir_temporal(
+        scene, gb, prev_gb_views, prev_res_views, camera, frame_count, ctx)
+
+    gb_views = views_mod.gb_views(gb, make_view)
+    res_t_views = views_mod.gb_views(reservoirs_t, make_view)
+    reservoirs_s, hdr, rays_s = restir_ops.restir_spatial(
+        scene, gb, gb_views, reservoirs_t, res_t_views, camera, frame_count,
+        ctx)
+
+    ldr, accum = post_ops.post_process(
+        make_view(hdr), gb, gb_views, make_view(state["accum"]), frame_count,
+        ctx)
+    new_state = {"prev_gb": gb, "reservoirs": reservoirs_s, "accum": accum}
+    aux = {"rays": jnp.float32(n_primary) + rays_t + rays_s}
+    return ldr, hdr, new_state, aux
+
+
 @partial(jax.jit, static_argnames=("width", "height"), donate_argnums=(3,))
 def render_frame(scene, camera, frame_count, state, width: int, height: int):
-    """One complete ReSTIR frame.
+    """One complete ReSTIR frame on a single chip.
 
     Args:
       scene: CompiledScene.
@@ -53,15 +85,12 @@ def render_frame(scene, camera, frame_count, state, width: int, height: int):
         on camera movement (state.rs:151-152 semantics - caller resets).
       state: FrameState pytree (donated).
 
-    Returns (ldr [n,3] gamma-encoded, hdr [n,3], new_state).
+    Returns (ldr [n,3] gamma-encoded, hdr [n,3], new_state, aux) where
+    aux["rays"] is the exact number of traversal queries this frame.
     """
-    gb = gbuffer_ops.render_gbuffer(scene, camera, width, height)
-    reservoirs_t = restir_ops.restir_temporal(
-        scene, gb, state["prev_gb"], state["reservoirs"], camera, frame_count,
-        width, height)
-    reservoirs_s, hdr = restir_ops.restir_spatial(
-        scene, gb, reservoirs_t, camera, frame_count, width, height)
-    ldr, accum = post_ops.post_process(
-        hdr, state["accum"], gb, frame_count, width, height)
-    new_state = {"prev_gb": gb, "reservoirs": reservoirs_s, "accum": accum}
-    return ldr, hdr, new_state
+    ctx = restir_ops.make_ctx(width, height)
+
+    def make_view(flat):
+        return views_mod.trivial_view(flat, width, height)
+
+    return render_band(scene, camera, frame_count, state, ctx, make_view)
