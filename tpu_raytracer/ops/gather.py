@@ -1,0 +1,129 @@
+"""Fast table gathers: the MXU as a gather engine.
+
+XLA's native gather on TPU costs ~15 ns/row (about 4 ms for a 262k-ray
+G-buffer) and Mosaic's dynamic_gather spans only 128 lanes, so per-ray
+random table lookups are reformulated as ONE-HOT MATMULS:
+
+  * `select_gather`  - tiny tables (materials, lights, mesh infos; M <= 64):
+    a plain XLA one-hot [R, M] @ table [M, C] matmul. With the framework's
+    "highest" matmul precision this is exact f32 and costs microseconds.
+  * `onehot_gather`  - mid tables (per-triangle shading rows, T <= ~64k):
+    Pallas kernel, one-hot built in VMEM (never touches HBM), table split
+    into bf16 hi/lo halves so two bf16 MXU passes reconstruct exact f32:
+        hi = bf16(x); lo = bf16(x - f32(hi));  x == f32(hi) + f32(lo).
+
+Integer columns ride along bitcast to f32 through `pack_table` /
+`int_rows` (bitcasts survive the hi/lo trick only if values fit f32's
+mantissa as integers - use small ints (< 2^24) or dedicated int columns
+gathered via select_gather; triangle tables store ids < 2^24).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_table_np(columns: list) -> np.ndarray:
+    """Stack host columns [T] -> [T, C] f32. Int columns stored as FLOATS
+    (exact below 2^24); recover with .astype(int32)."""
+    t = len(columns[0])
+    out = np.zeros((t, len(columns)), np.float32)
+    for c, col in enumerate(columns):
+        out[:, c] = np.asarray(col).astype(np.float32)
+    return out
+
+
+def select_gather(table, idx):
+    """table [M, C] (M small), idx [R] -> [R, C] exact f32 one-hot matmul."""
+    m = table.shape[0]
+    oh = (idx[:, None] == jnp.arange(m, dtype=idx.dtype)[None, :]).astype(
+        jnp.float32)
+    return jax.lax.dot_general(
+        oh, table, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Pallas one-hot gather for mid-size tables
+# ---------------------------------------------------------------------------
+
+OG_BR = 512      # rays per block
+
+
+def split_hilo(table: np.ndarray):
+    """[T, C] f32 -> (hi, lo) bf16 with hi + lo == table exactly in f32."""
+    t32 = np.asarray(table, np.float32)
+    hi = t32.astype(jnp.bfloat16)
+    lo = (t32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
+
+
+GROUPS_PER_BLOCK = 8
+
+
+def _onehot_kernel(idx_ref, hi_ref, lo_ref, out_ref, *, t, c):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (OG_BR, t), 1)
+    for s in range(GROUPS_PER_BLOCK):
+        idx = idx_ref[s, :]                                 # [BR]
+        oh = (lanes == idx[:, None]).astype(jnp.bfloat16)   # [BR, T] in VMEM
+        acc = jax.lax.dot_general(
+            oh, hi_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            oh, lo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[s * OG_BR:(s + 1) * OG_BR, :] = acc
+
+
+def onehot_gather(table_hi, table_lo, idx):
+    """Gather rows: tables [Tp, C] bf16 (hi/lo), idx [R] i32 -> [R, C] f32.
+
+    Tp and C should be multiples of 128 for MXU efficiency (pad host-side
+    with `pad_table`). Callers mask lanes with invalid idx (clamped to 0).
+    """
+    tp, c = table_hi.shape
+    r = idx.shape[0]
+    block_rays = OG_BR * GROUPS_PER_BLOCK
+    rp = max(((r + block_rays - 1) // block_rays) * block_rays, block_rays)
+    idx_p = jnp.zeros((rp,), jnp.int32).at[:r].set(
+        jnp.clip(idx.astype(jnp.int32), 0, tp - 1))
+
+    if jax.default_backend() != "tpu":
+        out = (table_hi.astype(jnp.float32)[idx_p]
+               + table_lo.astype(jnp.float32)[idx_p])
+        return out[:r]
+
+    kernel = functools.partial(_onehot_kernel, t=tp, c=c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rp // block_rays,),
+        in_specs=[
+            pl.BlockSpec((GROUPS_PER_BLOCK, OG_BR), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rays, c), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, c), jnp.float32),
+    )(idx_p.reshape(rp // block_rays, GROUPS_PER_BLOCK, OG_BR
+                    ).reshape(-1, OG_BR),
+      table_hi, table_lo)
+    return out[:r]
+
+
+def pad_table(table: np.ndarray, row_mult: int = 128,
+              col_mult: int = 128) -> np.ndarray:
+    t, c = table.shape
+    tp = max(((t + row_mult - 1) // row_mult) * row_mult, row_mult)
+    cp = max(((c + col_mult - 1) // col_mult) * col_mult, col_mult)
+    out = np.zeros((tp, cp), table.dtype)
+    out[:t, :c] = table
+    return out

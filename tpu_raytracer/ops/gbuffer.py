@@ -62,16 +62,21 @@ def render_gbuffer(scene, camera, width: int, height: int, y0=0,
                         ray_o, ray_d, res["t"])
     mat = gather_material(scene, h["mat_id"])
 
-    tex_color = textures.sample_bilinear(scene.color_tex, mat["tex_id"], h["uv"])
-    occlusion = textures.sample_bilinear(
-        scene.data_tex, mat["occlusion_tex_id"], h["uv"]
-    )[:, 0:1]
-    base_color = mat["base_color"][:, :3] * tex_color * occlusion
+    base_color = mat["base_color"][:, :3]
+    if "color" in scene.tex_channels:
+        base_color = base_color * textures.sample_bilinear(
+            scene.color_tex, mat["tex_id"], h["uv"])
+    if "occlusion" in scene.tex_channels:
+        base_color = base_color * textures.sample_bilinear(
+            scene.data_tex, mat["occlusion_tex_id"], h["uv"])[:, 0:1]
 
-    nmap = textures.sample_bilinear(scene.data_tex, mat["normal_tex_id"], h["uv"])
-    final_normal = apply_normal_map(
-        h["ffnormal"], h["tangent"], nmap, mat["normal_tex_id"] != NO_TEXTURE
-    )
+    final_normal = h["ffnormal"]
+    if "normal" in scene.tex_channels:
+        nmap = textures.sample_bilinear(
+            scene.data_tex, mat["normal_tex_id"], h["uv"])
+        final_normal = apply_normal_map(
+            final_normal, h["tangent"], nmap,
+            mat["normal_tex_id"] != NO_TEXTURE)
 
     # motion vectors (gbuffer.wgsl:227-242)
     pos4 = jnp.concatenate(
@@ -84,7 +89,6 @@ def render_gbuffer(scene, camera, width: int, height: int, y0=0,
     flip = jnp.asarray([0.5, -0.5], jnp.float32)
     motion = (prev_ndc * flip + 0.5) - (curr_ndc * flip + 0.5)
 
-    z = jnp.zeros_like
     return {
         "valid": valid,
         "pos": jnp.where(valid[:, None], h["pos"], 0.0),
@@ -93,4 +97,39 @@ def render_gbuffer(scene, camera, width: int, height: int, y0=0,
         "uv": jnp.where(valid[:, None], h["uv"], 0.0),
         "albedo": jnp.where(valid[:, None], base_color, 0.0),
         "motion": jnp.where(valid[:, None], motion, 0.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Packed G-buffer: neighbor passes (temporal reproject, spatial ReSTIR, post
+# stencils) read ONE wide row per tap instead of 5-6 narrow gathers.
+# ---------------------------------------------------------------------------
+
+GB_POS = slice(0, 3)
+GB_OCT = slice(3, 5)
+GB_UV = slice(5, 7)
+GB_ALBEDO = slice(7, 10)
+GB_MOTION = slice(10, 12)
+GB_MAT = 12
+GB_VALID = 13
+GB_COLS = 14
+
+
+def pack_gb(gb: dict):
+    return jnp.concatenate([
+        gb["pos"], gb["oct_normal"], gb["uv"], gb["albedo"], gb["motion"],
+        gb["mat_id"].astype(jnp.float32)[:, None],
+        gb["valid"].astype(jnp.float32)[:, None],
+    ], axis=-1)
+
+
+def unpack_gb(rows):
+    return {
+        "pos": rows[..., GB_POS],
+        "oct_normal": rows[..., GB_OCT],
+        "uv": rows[..., GB_UV],
+        "albedo": rows[..., GB_ALBEDO],
+        "motion": rows[..., GB_MOTION],
+        "mat_id": rows[..., GB_MAT].astype(jnp.int32),
+        "valid": rows[..., GB_VALID] > 0.5,
     }

@@ -1,12 +1,16 @@
 """Hit-point reconstruction from triangle ids + barycentrics.
 
 TPU equivalent of `reconstruct_geometry_hit` (restir.wgsl:383-441) and the
-G-buffer hit processing (gbuffer.wgsl:124-174): given an original world-
-triangle id from traversal, gather instance + mesh attribute data and
-interpolate shading attributes.
+G-buffer hit processing (gbuffer.wgsl:124-174). Instead of chasing the
+reference's index -> attribute -> instance indirection with many narrow
+gathers (each costs ~4 ms at 262k rays on TPU), the scene compile bakes ONE
+wide per-triangle shading row (scene.tri_table, world-space, unnormalized
+per-vertex normals/tangents so normalize-after-interpolate matches the
+reference's transform order exactly) and this pass does a single row gather
+plus pure VPU interpolation.
 
-All gathers are flat [R]-indexed; the attribute layout is the reference's
-global concatenated buffer scheme (builder.rs:123-141).
+Materials gather through `select_gather` (exact one-hot matmul) for small
+material sets, falling back to a native row gather for large ones.
 """
 
 from __future__ import annotations
@@ -14,57 +18,30 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils import math3d
+from .gather import select_gather
+
+SELECT_GATHER_MAX = 32
 
 
 def reconstruct_hit(scene, tri_id, u, v, front, ray_o, ray_d, t):
-    """Gather + interpolate hit attributes.
-
-    Args:
-      scene: CompiledScene.
-      tri_id: [R] i32 world-triangle ids (>= 0; callers mask invalid lanes).
-      u, v: [R] barycentrics (for vertices 1 and 2; w = 1-u-v at vertex 0).
-      front: [R] bool front-face flags.
-      ray_o, ray_d: [R, 3]; t: [R].
+    """Gather + interpolate hit attributes via the consolidated tri table.
 
     Returns dict: pos[R,3], normal[R,3] (shading, world), ffnormal[R,3],
-    uv[R,2], tangent[R,4], mat_id[R], inst[R], front[R], t[R].
+    uv[R,2], tangent[R,4], mat_id[R] i32, front[R], t[R].
     """
     safe_tri = jnp.maximum(tri_id, 0)
-    inst = scene.tri_inst[safe_tri]
-    prim = scene.tri_prim[safe_tri]
-    mesh_id = scene.inst_mesh_id[inst]
-    mat_id = scene.inst_mat_id[inst]
-
-    idx_offset = scene.mesh_index_offset[mesh_id] + prim * 3
-    v_offset = scene.mesh_vertex_offset[mesh_id]
-    i0 = scene.indices[idx_offset] + v_offset
-    i1 = scene.indices[idx_offset + 1] + v_offset
-    i2 = scene.indices[idx_offset + 2] + v_offset
-
-    n0 = math3d.oct_decode(scene.attr_oct_normal[i0])
-    n1 = math3d.oct_decode(scene.attr_oct_normal[i1])
-    n2 = math3d.oct_decode(scene.attr_oct_normal[i2])
-    t0 = scene.attr_tangent[i0]
-    t1 = scene.attr_tangent[i1]
-    t2 = scene.attr_tangent[i2]
+    rows = scene.tri_table[safe_tri]                   # [R, 26] one gather
 
     w = (1.0 - u - v)[:, None]
     uu = u[:, None]
     vv = v[:, None]
-    local_normal = math3d.normalize(n0 * w + n1 * uu + n2 * vv)
-    local_tangent = math3d.normalize(
-        t0[:, :3] * w + t1[:, :3] * uu + t2[:, :3] * vv
-    )
-    uv_interp = (
-        scene.attr_uv[i0] * w + scene.attr_uv[i1] * uu + scene.attr_uv[i2] * vv
-    )
 
-    # world_to_object normal transform (restir.wgsl:427-431): the compiled
-    # scene stores (A^-1)^T per instance directly.
-    nm = scene.inst_normal_mat[inst]  # [R, 3, 3]
-    normal = math3d.normalize(jnp.einsum("rij,rj->ri", nm, local_normal))
-    tangent_w = math3d.normalize(jnp.einsum("rij,rj->ri", nm, local_tangent))
-    tangent = jnp.concatenate([tangent_w, t0[:, 3:4]], axis=-1)
+    n = rows[:, 0:3] * w + rows[:, 3:6] * uu + rows[:, 6:9] * vv
+    normal = math3d.normalize(n)
+    uv_interp = rows[:, 9:11] * w + rows[:, 11:13] * uu + rows[:, 13:15] * vv
+    tg = rows[:, 15:18] * w + rows[:, 18:21] * uu + rows[:, 21:24] * vv
+    tangent = jnp.concatenate([math3d.normalize(tg), rows[:, 24:25]], axis=-1)
+    mat_id = rows[:, 25].astype(jnp.int32)
 
     ffnormal = jnp.where(front[:, None], normal, -normal)
     pos = ray_o + ray_d * t[:, None]
@@ -76,17 +53,51 @@ def reconstruct_hit(scene, tri_id, u, v, front, ray_o, ray_d, t):
         "uv": uv_interp,
         "tangent": tangent,
         "mat_id": mat_id,
-        "inst": inst,
         "front": front,
         "t": t,
     }
 
 
 def gather_material(scene, mat_id):
-    """Gather SoA material lanes for [R] material ids."""
-    m = scene.materials
-    safe = jnp.maximum(mat_id, 0)
-    return {k: v[safe] for k, v in m.items()}
+    """One-shot material row fetch -> dict of lanes (see mat_table layout)."""
+    m = scene.mat_table.shape[0]
+    idx = jnp.clip(mat_id, 0, m - 1)
+    if m <= SELECT_GATHER_MAX:
+        rows = select_gather(scene.mat_table, idx)
+    else:
+        rows = scene.mat_table[idx]
+    return {
+        "base_color": rows[:, 0:4],
+        "emissive_factor": rows[:, 4:7],
+        "roughness": rows[:, 7],
+        "metallic": rows[:, 8],
+        "transmission": rows[:, 9],
+        "ior": rows[:, 10],
+        "light_index": rows[:, 11].astype(jnp.int32),
+        "tex_id": rows[:, 12].astype(jnp.int32),
+        "normal_tex_id": rows[:, 13].astype(jnp.int32),
+        "occlusion_tex_id": rows[:, 14].astype(jnp.int32),
+        "emissive_tex_id": rows[:, 15].astype(jnp.int32),
+        "metallic_roughness_tex_id": rows[:, 16].astype(jnp.int32),
+    }
+
+
+def gather_light(scene, light_idx):
+    """Light row fetch -> dict (position, type, u, area, v, emission)."""
+    l = scene.light_table.shape[0]
+    idx = jnp.clip(light_idx, 0, l - 1)
+    if l <= SELECT_GATHER_MAX:
+        rows = select_gather(scene.light_table, idx)
+    else:
+        rows = scene.light_table[idx]
+    return {
+        "position": rows[:, 0:3],
+        "type": rows[:, 3].astype(jnp.int32),
+        "u": rows[:, 4:7],
+        "area": rows[:, 7],
+        "v": rows[:, 8:11],
+        "emission": rows[:, 11:15],
+    }
 
 
 def apply_normal_map(ffnormal, tangent, normal_map_rgb, has_map):

@@ -14,18 +14,17 @@ from ..utils import math3d
 PI = jnp.float32(jnp.pi)
 
 
-def sample_light(lights, light_idx, r1, r2):
-    """Sample [R] lights by index with uniforms r1, r2 (2 draws/lane).
+def sample_light(light_rows, r1, r2):
+    """Sample prefetched light rows (hit.gather_light) with uniforms r1, r2.
 
     Returns dict: pos [R,3], normal [R,3], pdf [R], emission [R,4].
     """
-    idx = jnp.maximum(light_idx, 0)
-    position = lights["position"][idx]
-    ltype = lights["type"][idx]
-    u_vec = lights["u"][idx]
-    v_vec = lights["v"][idx]
-    area = lights["area"][idx]
-    emission = lights["emission"][idx]
+    position = light_rows["position"]
+    ltype = light_rows["type"]
+    u_vec = light_rows["u"]
+    v_vec = light_rows["v"]
+    area = light_rows["area"]
+    emission = light_rows["emission"]
 
     # quad (type 0)
     su = (r1 * 2.0 - 1.0)[:, None]

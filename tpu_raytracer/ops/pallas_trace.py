@@ -40,7 +40,7 @@ _MT_EPS = 1e-9
 def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     """Host-side packing to the kernel layout.
 
-    Returns (tri_planes [4, 3, Tp], t_padded) with Tp padded to CT.
+    Returns (tri_planes [4, 3, Tp], chunk_aabb [Tp/CT, 8], Tp).
     Plane 3 row 0 is the validity mask (1.0 real, 0.0 padding).
     """
     t = v0.shape[0]
@@ -50,7 +50,26 @@ def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     planes[1, :, :t] = e1.T
     planes[2, :, :t] = e2.T
     planes[3, 0, :t] = 1.0
-    return planes, tp
+
+    # per-chunk world AABBs (BVH-DFS triangle order makes chunks spatially
+    # tight); reserved for a chunk-skipping kernel - current Mosaic builds
+    # miscompile both pl.when- and lax.cond-guarded chunk bodies here.
+    nc = tp // CT
+    aabb = np.zeros((nc, 8), np.float32)
+    v1 = v0 + e1
+    v2 = v0 + e2
+    mn = np.minimum(np.minimum(v0, v1), v2)
+    mx = np.maximum(np.maximum(v0, v1), v2)
+    for c in range(nc):
+        lo = c * CT
+        hi = min((c + 1) * CT, t)
+        if lo < hi:
+            aabb[c, 0:3] = mn[lo:hi].min(axis=0)
+            aabb[c, 3:6] = mx[lo:hi].max(axis=0)
+        else:
+            aabb[c, 0:3] = INF
+            aabb[c, 3:6] = -INF
+    return planes, aabb, tp
 
 
 def _mt_kernel(rays_ref, tri_ref, t_ref, idx_ref, uvf_ref, *, num_chunks,
@@ -132,7 +151,7 @@ def _mt_kernel(rays_ref, tri_ref, t_ref, idx_ref, uvf_ref, *, num_chunks,
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit",))
-def trace_brute_pallas(tri_planes, ray_o, ray_d, t_min, t_max,
+def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
                        any_hit: bool = False, active=None):
     """Closest-hit (or any-hit) over ALL triangles.
 

@@ -30,7 +30,8 @@ from ..utils import math3d, rng
 from . import bsdf as bsdf_ops
 from . import lights as light_ops
 from . import textures
-from .hit import apply_normal_map, gather_material, reconstruct_hit
+from .hit import (apply_normal_map, gather_light, gather_material,
+                  reconstruct_hit)
 from .trace_api import scene_occluded, scene_trace
 
 MAX_DEPTH = 8          # restir.wgsl:5
@@ -57,7 +58,8 @@ def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights):
     state, r1 = rng.rand_if(state, smp_mask)
     state, r2 = rng.rand_if(state, smp_mask)
 
-    ls = light_ops.sample_light(scene.lights, light_idx, r1, r2)
+    light_rows = gather_light(scene, light_idx)
+    ls = light_ops.sample_light(light_rows, r1, r2)
 
     pdf_nee = ls["pdf"] * (1.0 / num_lights)
     to_light = math3d.normalize(ls["pos"] - pos)
@@ -125,19 +127,29 @@ def trace_path(scene, gb, view_pos, seed):
     )
 
     # --- metallic-roughness map at depth 0 (restir.wgsl:503-511) ---
-    mr = textures.sample_bilinear(scene.data_tex, mat["metallic_roughness_tex_id"], uv)
-    has_mr = mat["metallic_roughness_tex_id"] != NO_TEXTURE
-    mat["metallic"] = jnp.where(has_mr, mr[:, 2] * mat["metallic"], mat["metallic"])
-    mat["roughness"] = jnp.where(has_mr, mr[:, 1] * mat["roughness"], mat["roughness"])
+    # sampling is compiled out when no material in the scene has the channel
+    if "metallic_roughness" in scene.tex_channels:
+        mr = textures.sample_bilinear(
+            scene.data_tex, mat["metallic_roughness_tex_id"], uv)
+        has_mr = mat["metallic_roughness_tex_id"] != NO_TEXTURE
+        mat["metallic"] = jnp.where(has_mr, mr[:, 2] * mat["metallic"],
+                                    mat["metallic"])
+        mat["roughness"] = jnp.where(has_mr, mr[:, 1] * mat["roughness"],
+                                     mat["roughness"])
 
     accumulated = jnp.zeros((r, 3), jnp.float32)
     throughput = jnp.ones((r, 3), jnp.float32)
     wo = math3d.normalize(view_pos[None, :] - pos)
 
     # --- primary emission, light-source pixels terminate (restir.wgsl:522-552)
-    em_tex = textures.sample_bilinear(scene.color_tex, mat["emissive_tex_id"], uv)
-    has_em_tex = mat["emissive_tex_id"] != NO_TEXTURE
-    emission = mat["emissive_factor"] * jnp.where(has_em_tex[:, None], em_tex, 1.0)
+    if "emissive" in scene.tex_channels:
+        em_tex = textures.sample_bilinear(
+            scene.color_tex, mat["emissive_tex_id"], uv)
+        has_em_tex = mat["emissive_tex_id"] != NO_TEXTURE
+        emission = mat["emissive_factor"] * jnp.where(
+            has_em_tex[:, None], em_tex, 1.0)
+    else:
+        emission = mat["emissive_factor"]
     accumulated = accumulated + jnp.where(active[:, None], emission, 0.0)
     is_light_px = active & (mat["light_index"] >= 0)
     active = active & ~is_light_px
@@ -177,10 +189,11 @@ def trace_path(scene, gb, view_pos, seed):
         next_dir=next_dir, last_bsdf_pdf=last_bsdf_pdf,
         previous_was_diffuse=previous_was_diffuse,
         valid_v1=valid_v1, v1_pos=v1_pos, v1_normal=v1_normal,
-        ray_count=ray_count,
+        ray_count=ray_count, depth=jnp.int32(1),
     )
 
-    def body(depth, c):
+    def body(c):
+        depth = c["depth"]
         state = c["state"]
         active = c["active"]
         throughput = c["throughput"]
@@ -218,29 +231,38 @@ def trace_path(scene, gb, view_pos, seed):
 
         wo = -next_dir
         mat = gather_material(scene, h["mat_id"])
-        tex_color = textures.sample_bilinear(scene.color_tex, mat["tex_id"], h["uv"])
-        occ = textures.sample_bilinear(
-            scene.data_tex, mat["occlusion_tex_id"], h["uv"]
-        )[:, 0:1]
-        base_color = mat["base_color"][:, :3] * tex_color * occ
+        base_color = mat["base_color"][:, :3]
+        if "color" in scene.tex_channels:
+            tex_color = textures.sample_bilinear(
+                scene.color_tex, mat["tex_id"], h["uv"])
+            base_color = base_color * tex_color
+        if "occlusion" in scene.tex_channels:
+            occ = textures.sample_bilinear(
+                scene.data_tex, mat["occlusion_tex_id"], h["uv"])[:, 0:1]
+            base_color = base_color * occ
 
-        nmap = textures.sample_bilinear(
-            scene.data_tex, mat["normal_tex_id"], h["uv"]
-        )
-        ffnormal = apply_normal_map(
-            h["ffnormal"], h["tangent"], nmap, mat["normal_tex_id"] != NO_TEXTURE
-        )
+        ffnormal = h["ffnormal"]
+        if "normal" in scene.tex_channels:
+            nmap = textures.sample_bilinear(
+                scene.data_tex, mat["normal_tex_id"], h["uv"])
+            ffnormal = apply_normal_map(
+                ffnormal, h["tangent"], nmap,
+                mat["normal_tex_id"] != NO_TEXTURE)
 
         # emissive texture of non-light materials (restir.wgsl:675-678)
-        em_tex = textures.sample_bilinear(scene.color_tex, mat["emissive_tex_id"], h["uv"])
-        em_mask = active & (mat["light_index"] == -1) & (mat["emissive_tex_id"] != NO_TEXTURE)
-        accumulated = accumulated + jnp.where(em_mask[:, None], em_tex, 0.0) * throughput
+        if "emissive" in scene.tex_channels:
+            em_tex = textures.sample_bilinear(
+                scene.color_tex, mat["emissive_tex_id"], h["uv"])
+            em_mask = active & (mat["light_index"] == -1) & (
+                mat["emissive_tex_id"] != NO_TEXTURE)
+            accumulated = accumulated + jnp.where(
+                em_mask[:, None], em_tex, 0.0) * throughput
 
         # emissive light hit with MIS (restir.wgsl:683-699)
         light_hit = active & (mat["light_index"] >= 0)
-        lt = jnp.maximum(mat["light_index"], 0)
-        l_em = scene.lights["emission"][lt]
-        l_area = scene.lights["area"][lt]
+        lrow = gather_light(scene, jnp.maximum(mat["light_index"], 0))
+        l_em = lrow["emission"]
+        l_area = lrow["area"]
         le = l_em[:, :3] * l_em[:, 3:4]
         dist_sq = h["t"] * h["t"]
         light_cos = jnp.maximum(math3d.dot(ffnormal, -wo), 0.0)  # quirk, see module docstring
@@ -281,10 +303,15 @@ def trace_path(scene, gb, view_pos, seed):
             next_dir=sc["wi"], last_bsdf_pdf=sc["pdf"],
             previous_was_diffuse=previous_was_diffuse,
             valid_v1=valid_v1, v1_pos=v1_pos, v1_normal=v1_normal,
-            ray_count=ray_count,
+            ray_count=ray_count, depth=depth + 1,
         )
 
-    carry = jax.lax.fori_loop(1, MAX_DEPTH, body, carry)
+    # while_loop so a wavefront whose lanes have ALL terminated skips the
+    # remaining depths entirely (per-lane results identical to a full
+    # unrolled loop: dead lanes consume no RNG and contribute nothing).
+    carry = jax.lax.while_loop(
+        lambda c: (c["depth"] < MAX_DEPTH) & jnp.any(c["active"]),
+        body, carry)
 
     return {
         "radiance": carry["accumulated"],

@@ -94,32 +94,34 @@ class _Stencil:
         return center, valid
 
 
-def post_process(hdr_view, gb, gb_views, history_view, frame_count, ctx):
+def post_process(hdr_view, gb, gb_view, history_view, frame_count, ctx):
     """Full post pass over one band.
 
     Args:
       hdr_view: BandView of the spatial-pass HDR output (halo >= 2 when
         sharded).
       gb: this band's flat G-buffer (motion used directly).
-      gb_views: BandViews of albedo / oct_normal / pos (stencil weights).
+      gb_view: BandView of the PACKED G-buffer (stencil weights slice
+        albedo / oct-normal / pos channels from each tap).
       history_view: BandView of the accumulation buffer (reprojection taps).
       frame_count: scalar; the SPP counter (resets on camera motion).
       ctx: band context from restir.make_ctx.
 
     Returns (ldr_flat [n,3] gamma-encoded, new_accum_flat [n,3] linear HDR).
     """
+    from .gbuffer import GB_ALBEDO, GB_OCT, GB_POS
+
     band_h, width, height = ctx["band_h"], ctx["width"], ctx["height"]
     frame = jnp.asarray(frame_count, jnp.float32)
 
     s_hdr = _Stencil(hdr_view, ctx)
-    s_alb = _Stencil(gb_views["albedo"], ctx)
-    s_nrm = _Stencil(gb_views["oct_normal"], ctx)
-    s_pos = _Stencil(gb_views["pos"], ctx)
+    s_gb = _Stencil(gb_view, ctx)
 
     hdr, _ = s_hdr.tap(0, 0)
-    albedo, _ = s_alb.tap(0, 0)
-    normal = math3d.oct_decode(s_nrm.tap(0, 0)[0])
-    pos, _ = s_pos.tap(0, 0)
+    gb0, _ = s_gb.tap(0, 0)
+    albedo = gb0[..., GB_ALBEDO]
+    normal = math3d.oct_decode(gb0[..., GB_OCT])
+    pos = gb0[..., GB_POS]
 
     # ---- 5x5 joint bilateral (post.wgsl:85-141) ----
     sum_color = jnp.zeros_like(hdr)
@@ -127,10 +129,10 @@ def post_process(hdr_view, gb, gb_views, history_view, frame_count, ctx):
     for dy in range(-KERNEL_RADIUS, KERNEL_RADIUS + 1):
         for dx in range(-KERNEL_RADIUS, KERNEL_RADIUS + 1):
             c, ok = s_hdr.tap(dy, dx)
-            a, _ = s_alb.tap(dy, dx)
-            ne, _ = s_nrm.tap(dy, dx)
-            p, _ = s_pos.tap(dy, dx)
-            nrm = math3d.oct_decode(ne)
+            gbt, _ = s_gb.tap(dy, dx)
+            a = gbt[..., GB_ALBEDO]
+            p = gbt[..., GB_POS]
+            nrm = math3d.oct_decode(gbt[..., GB_OCT])
 
             w_spatial = math.exp(-(dx * dx + dy * dy)
                                  / (2.0 * SIGMA_SPATIAL ** 2))

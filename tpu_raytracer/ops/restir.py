@@ -63,6 +63,37 @@ def empty_reservoirs(n: int) -> dict:
     }
 
 
+def pack_reservoirs(res: dict):
+    """SoA -> one [N, 8] row table for single-gather neighbor reads.
+
+    The seed `y` is a raw uint32 bit pattern - it rides bitcast to f32
+    (XLA gathers are byte-preserving; never do arithmetic on column 0).
+    """
+    import jax
+
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(res["y"], jnp.float32)[:, None],
+        res["w_sum"][:, None],
+        res["M"].astype(jnp.float32)[:, None],
+        res["W"][:, None],
+        res["p_hat"][:, None],
+        res["s_path"],
+    ], axis=-1)
+
+
+def unpack_reservoirs(rows):
+    import jax
+
+    return {
+        "y": jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32),
+        "w_sum": rows[..., 1],
+        "M": rows[..., 2].astype(jnp.int32),
+        "W": rows[..., 3],
+        "p_hat": rows[..., 4],
+        "s_path": rows[..., 5:8],
+    }
+
+
 def _update_reservoir(res, mask, y_new, w, rnd, cnt, p_hat_new, s_path_new):
     """Vectorized update_reservoir (restir.wgsl:746-756) on masked lanes."""
     w_sum = res["w_sum"] + jnp.where(mask, w, 0.0)
@@ -112,14 +143,14 @@ def _is_valid_neighbor_spatial(scene, curr_pos, curr_normal, curr_mat,
     return ok & jnp.where(is_specular, spec_ok, diff_ok)
 
 
-def restir_temporal(scene, gb, prev_gb_views, prev_res_views, camera,
+def restir_temporal(scene, gb, prev_gb_view, prev_res_view, camera,
                     frame_count, ctx):
     """Candidate generation + temporal reuse.
 
     Returns (reservoirs, ray_count).
 
-    prev_gb_views / prev_res_views: dicts of BandView over last frame's
-    G-buffer / spatial reservoirs.
+    prev_gb_view / prev_res_view: BandViews over last frame's PACKED
+    G-buffer / spatial reservoirs (single wide gather per tap).
     """
     width, height = ctx["width"], ctx["height"]
     gx, gy, gidx = _global_coords(ctx)
@@ -148,12 +179,15 @@ def restir_temporal(scene, gb, prev_gb_views, prev_res_views, camera,
     prev_x = (prev_uv[:, 0] * width).astype(jnp.int32)
     prev_y = (prev_uv[:, 1] * height).astype(jnp.int32)
 
-    p_pos, cov = prev_gb_views["pos"].read(prev_y, prev_x)
-    p_norm_e, _ = prev_gb_views["oct_normal"].read(prev_y, prev_x)
-    p_norm = math3d.oct_decode(p_norm_e)
-    p_mat, _ = prev_gb_views["mat_id"].read(prev_y, prev_x)
-    p_valid, _ = prev_gb_views["valid"].read(prev_y, prev_x)
-    p_albedo, _ = prev_gb_views["albedo"].read(prev_y, prev_x)
+    from .gbuffer import unpack_gb
+
+    p_rows, cov = prev_gb_view.read(prev_y, prev_x)
+    pgb = unpack_gb(p_rows)
+    p_pos = pgb["pos"]
+    p_norm = math3d.oct_decode(pgb["oct_normal"])
+    p_mat = pgb["mat_id"]
+    p_valid = pgb["valid"]
+    p_albedo = pgb["albedo"]
     c_norm = math3d.oct_decode(gb["oct_normal"])
 
     mid = jnp.maximum(gb["mat_id"], 0)
@@ -172,11 +206,13 @@ def restir_temporal(scene, gb, prev_gb_views, prev_res_views, camera,
     albedo_ratio = l_curr / l_prev
     reuse &= (albedo_ratio < 3.0) & (albedo_ratio > 0.33)
 
-    prev_y_seed, _ = prev_res_views["y"].read(prev_y, prev_x)
-    prev_w, _ = prev_res_views["W"].read(prev_y, prev_x)
-    prev_m, _ = prev_res_views["M"].read(prev_y, prev_x)
-    prev_phat, _ = prev_res_views["p_hat"].read(prev_y, prev_x)
-    prev_spath, _ = prev_res_views["s_path"].read(prev_y, prev_x)
+    r_rows, _ = prev_res_view.read(prev_y, prev_x)
+    prev_res = unpack_reservoirs(r_rows)
+    prev_y_seed = prev_res["y"]
+    prev_w = prev_res["W"]
+    prev_m = prev_res["M"]
+    prev_phat = prev_res["p_hat"]
+    prev_spath = prev_res["s_path"]
 
     p_hat_new = prev_phat * albedo_ratio
     reuse &= p_hat_new > 0.0
@@ -219,16 +255,17 @@ def _calculate_jacobian(curr_pos, curr_normal, curr_albedo,
     return jnp.where(cos_neigh <= 1e-3, 0.0, jac)
 
 
-def restir_spatial(scene, gb, gb_views, in_reservoirs, in_res_views, camera,
+def restir_spatial(scene, gb, gb_view, in_reservoirs, in_res_view, camera,
                    frame_count, ctx):
     """Spatial reuse + final seed replay + shade.
 
-    gb_views / in_res_views: BandViews over the CURRENT frame's G-buffer and
-    the temporal reservoirs (neighbor taps up to 10 px, restir_spatial
-    .wgsl:903).
+    gb_view / in_res_view: BandViews over the CURRENT frame's PACKED
+    G-buffer and temporal reservoirs (neighbor taps up to 10 px,
+    restir_spatial.wgsl:903).
 
     Returns (out_reservoirs, hdr_radiance [n,3], ray_count).
     """
+    from .gbuffer import unpack_gb
     from .trace_api import scene_occluded
 
     width, height = ctx["width"], ctx["height"]
@@ -270,22 +307,25 @@ def restir_spatial(scene, gb, gb_views, in_reservoirs, in_res_views, camera,
         nx = gx + ox
         ny = gy + oy
 
-        n_valid, cov = gb_views["valid"].read(ny, nx)
-        n_pos, _ = gb_views["pos"].read(ny, nx)
-        n_norm_e, _ = gb_views["oct_normal"].read(ny, nx)
-        n_norm = math3d.oct_decode(n_norm_e)
-        n_mat, _ = gb_views["mat_id"].read(ny, nx)
-        n_alb, _ = gb_views["albedo"].read(ny, nx)
+        n_rows, cov = gb_view.read(ny, nx)
+        ngb = unpack_gb(n_rows)
+        n_valid = ngb["valid"]
+        n_pos = ngb["pos"]
+        n_norm = math3d.oct_decode(ngb["oct_normal"])
+        n_mat = ngb["mat_id"]
+        n_alb = ngb["albedo"]
 
         ok = it_active & cov & n_valid
         ok &= _is_valid_neighbor_spatial(
             scene, pos, normal, mat_id, n_pos, n_norm, n_mat, camera_pos)
 
-        nb_y, _ = in_res_views["y"].read(ny, nx)
-        nb_w, _ = in_res_views["W"].read(ny, nx)
-        nb_m, _ = in_res_views["M"].read(ny, nx)
-        nb_phat, _ = in_res_views["p_hat"].read(ny, nx)
-        nb_spath, _ = in_res_views["s_path"].read(ny, nx)
+        nb_rows, _ = in_res_view.read(ny, nx)
+        nbres = unpack_reservoirs(nb_rows)
+        nb_y = nbres["y"]
+        nb_w = nbres["W"]
+        nb_m = nbres["M"]
+        nb_phat = nbres["p_hat"]
+        nb_spath = nbres["s_path"]
         ok &= nb_phat > 0.0
 
         jac = _calculate_jacobian(pos, normal, albedo, nb_spath, n_pos,

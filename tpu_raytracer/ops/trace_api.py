@@ -77,8 +77,8 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None):
     if scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS:
         if jax.default_backend() == "tpu":
             return pallas_trace.trace_brute_pallas(
-                scene.tri_planes, ray_o, ray_d, t_min, t_max,
-                any_hit=any_hit, active=active)
+                scene.tri_planes, scene.chunk_aabb, ray_o, ray_d, t_min,
+                t_max, any_hit=any_hit, active=active)
         return _trace_brute_xla(scene.tri_planes, ray_o, ray_d, t_min, t_max,
                                 active=active)
     return traversal.trace(

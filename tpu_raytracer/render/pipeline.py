@@ -30,19 +30,11 @@ from ..parallel import views as views_mod
 
 
 def init_state(width: int, height: int) -> dict:
-    """Fresh FrameState: prev G-buffer, reservoirs, accumulation buffer."""
+    """Fresh FrameState: packed prev G-buffer + reservoirs + accumulation."""
     n = width * height
     return {
-        "prev_gb": {
-            "valid": jnp.zeros((n,), jnp.bool_),
-            "pos": jnp.zeros((n, 3), jnp.float32),
-            "mat_id": jnp.zeros((n,), jnp.int32),
-            "oct_normal": jnp.zeros((n, 2), jnp.float32),
-            "uv": jnp.zeros((n, 2), jnp.float32),
-            "albedo": jnp.zeros((n, 3), jnp.float32),
-            "motion": jnp.zeros((n, 2), jnp.float32),
-        },
-        "reservoirs": restir_ops.empty_reservoirs(n),
+        "gb": jnp.zeros((n, gbuffer_ops.GB_COLS), jnp.float32),
+        "res": restir_ops.pack_reservoirs(restir_ops.empty_reservoirs(n)),
         "accum": jnp.zeros((n, 3), jnp.float32),
     }
 
@@ -55,21 +47,23 @@ def render_band(scene, camera, frame_count, state, ctx, make_view):
     n_primary = ctx["band_h"] * width
     gb = gbuffer_ops.render_gbuffer(scene, camera, width, height,
                                     y0=ctx["y0"], band_h=ctx["band_h"])
-    prev_gb_views = views_mod.gb_views(state["prev_gb"], make_view)
-    prev_res_views = views_mod.gb_views(state["reservoirs"], make_view)
     reservoirs_t, rays_t = restir_ops.restir_temporal(
-        scene, gb, prev_gb_views, prev_res_views, camera, frame_count, ctx)
+        scene, gb, make_view(state["gb"]), make_view(state["res"]),
+        camera, frame_count, ctx)
 
-    gb_views = views_mod.gb_views(gb, make_view)
-    res_t_views = views_mod.gb_views(reservoirs_t, make_view)
+    gb_packed = gbuffer_ops.pack_gb(gb)
+    gb_view = make_view(gb_packed)
     reservoirs_s, hdr, rays_s = restir_ops.restir_spatial(
-        scene, gb, gb_views, reservoirs_t, res_t_views, camera, frame_count,
-        ctx)
+        scene, gb, gb_view, reservoirs_t,
+        make_view(restir_ops.pack_reservoirs(reservoirs_t)), camera,
+        frame_count, ctx)
 
     ldr, accum = post_ops.post_process(
-        make_view(hdr), gb, gb_views, make_view(state["accum"]), frame_count,
+        make_view(hdr), gb, gb_view, make_view(state["accum"]), frame_count,
         ctx)
-    new_state = {"prev_gb": gb, "reservoirs": reservoirs_s, "accum": accum}
+    new_state = {"gb": gb_packed,
+                 "res": restir_ops.pack_reservoirs(reservoirs_s),
+                 "accum": accum}
     aux = {"rays": jnp.float32(n_primary) + rays_t + rays_s}
     return ldr, hdr, new_state, aux
 

@@ -34,6 +34,17 @@ from .resources import CompiledScene
 TEXTURE_SIZE = 1024  # reference: scene/mod.rs TEXTURE_WIDTH/HEIGHT = 1024
 
 
+def _oct_decode_np(e: np.ndarray) -> np.ndarray:
+    """Octahedral decode (host, matches gbuffer.wgsl:38-44 / math3d)."""
+    ex, ey = e[:, 0], e[:, 1]
+    nz = 1.0 - np.abs(ex) - np.abs(ey)
+    t = np.maximum(-nz, 0.0)
+    nx = ex + np.where(ex >= 0.0, -t, t)
+    ny = ey + np.where(ey >= 0.0, -t, t)
+    n = np.stack([nx, ny, nz], axis=-1).astype(np.float32)
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+
+
 def _srgb_to_linear(x: np.ndarray) -> np.ndarray:
     """Exact piecewise sRGB EOTF (matches hardware Rgba8UnormSrgb decode)."""
     x = x.astype(np.float32) / 255.0
@@ -226,19 +237,94 @@ class SceneBuilder:
         tri_prim = (np.concatenate(tri_prim) if tri_prim else np.zeros((0,), np.int32))
         tri_local = (np.concatenate(tri_local) if tri_local else np.zeros((0,), np.int32))
 
-        # 3. BVH over the soup
+        # 3. BVH over the soup; then REORDER all per-triangle data into the
+        # BVH's DFS leaf order. Consecutive triangles become spatially
+        # coherent, which drives the brute-force intersector's chunk-AABB
+        # culling (ops/pallas_trace.py) and keeps BVH leaf ranges contiguous.
         wv1 = world_v0 + world_e1
         wv2 = world_v0 + world_e2
         aabb_min = np.minimum(np.minimum(world_v0, wv1), wv2)
         aabb_max = np.maximum(np.maximum(world_v0, wv1), wv2)
         tree = bvh_ops.build_bvh(aabb_min, aabb_max)
+
+        t_total = len(tri_inst)
+        if t_total > 0:
+            order = tree.tri_id[tree.skip < 0].astype(np.int64)  # DFS order
+            inv = np.empty_like(order)
+            inv[order] = np.arange(t_total, dtype=np.int64)
+            world_v0, world_e1, world_e2 = (
+                world_v0[order], world_e1[order], world_e2[order])
+            tri_inst, tri_prim, tri_local = (
+                tri_inst[order], tri_prim[order], tri_local[order])
+            tree.tri_id[tree.skip < 0] = inv[order].astype(np.int32)  # = 0..T-1
+
         bvh_ops.fill_triangles(tree, world_v0, world_e1, world_e2)
         from ..ops.pallas_trace import pack_triangles
-        tri_planes, _ = pack_triangles(world_v0, world_e1, world_e2)
+        tri_planes, chunk_aabb, _ = pack_triangles(world_v0, world_e1, world_e2)
 
-        # 4. tables + textures
+        # 4. consolidated per-triangle shading table: one wide gather per
+        # hit replaces the index->attribute->instance gather chain.
+        # Per-vertex world normals/tangents stored UNNORMALIZED so
+        # normalize(interp(..)) is bit-equivalent to the reference's
+        # transform-after-interpolate order (restir.wgsl:422-431).
+        t_total = len(tri_inst)
+        tri_table = np.zeros((max(t_total, 1), 26), np.float32)
+        row = 0
+        for inst_id, (mesh_id, mat_id, tf) in enumerate(self.instances):
+            mesh = self.meshes[mesh_id]
+            nt = mesh.num_triangles
+            nm = np.linalg.inv(tf[:3, :3]).T.astype(np.float32)
+            tri = mesh.indices.reshape(-1, 3).astype(np.int64)
+            n_world = _oct_decode_np(mesh.oct_normals) @ nm.T   # [V, 3]
+            t_world = mesh.tangents[:, :3] @ nm.T
+            blk = tri_table[row:row + nt]
+            for k in range(3):
+                blk[:, k * 3:k * 3 + 3] = n_world[tri[:, k]]
+                blk[:, 9 + k * 2:11 + k * 2] = mesh.uvs[tri[:, k]]
+                blk[:, 15 + k * 3:18 + k * 3] = t_world[tri[:, k]]
+            blk[:, 24] = mesh.tangents[tri[:, 0], 3]   # sign from v0
+            blk[:, 25] = mat_id
+            row += nt
+        if t_total > 0:
+            tri_table = tri_table[order]   # match BVH-DFS triangle order
+
+        # material table [M, 17] (+ texture-channel presence flags)
         materials = pack_materials(self.materials)
+        m = materials["base_color"].shape[0]
+        mat_table = np.zeros((m, 17), np.float32)
+        mat_table[:, 0:4] = materials["base_color"]
+        mat_table[:, 4:7] = materials["emissive_factor"]
+        mat_table[:, 7] = materials["roughness"]
+        mat_table[:, 8] = materials["metallic"]
+        mat_table[:, 9] = materials["transmission"]
+        mat_table[:, 10] = materials["ior"]
+        mat_table[:, 11] = materials["light_index"]
+        mat_table[:, 12] = materials["tex_id"]
+        mat_table[:, 13] = materials["normal_tex_id"]
+        mat_table[:, 14] = materials["occlusion_tex_id"]
+        mat_table[:, 15] = materials["emissive_tex_id"]
+        mat_table[:, 16] = materials["metallic_roughness_tex_id"]
+
+        from .material import NO_TEXTURE
+
+        channels = []
+        for name, key in (("color", "tex_id"), ("normal", "normal_tex_id"),
+                          ("occlusion", "occlusion_tex_id"),
+                          ("emissive", "emissive_tex_id"),
+                          ("metallic_roughness", "metallic_roughness_tex_id")):
+            if (materials[key] != NO_TEXTURE).any():
+                channels.append(name)
+        tex_channels = frozenset(channels)
+
         lights = light_mod.pack_lights(self.lights)
+        nl = lights["position"].shape[0]
+        light_table = np.zeros((nl, 15), np.float32)
+        light_table[:, 0:3] = lights["position"]
+        light_table[:, 3] = lights["type"]
+        light_table[:, 4:7] = lights["u"]
+        light_table[:, 7] = lights["area"]
+        light_table[:, 8:11] = lights["v"]
+        light_table[:, 11:15] = lights["emission"]
         color_tex = np.stack(self.color_textures).astype(np.float32)
         data_tex = np.stack(self.data_textures).astype(np.float32)
 
@@ -246,6 +332,10 @@ class SceneBuilder:
         f = np.float32
         scene = CompiledScene(
             tri_planes=tri_planes,
+            chunk_aabb=chunk_aabb,
+            tri_table=tri_table.astype(f),
+            mat_table=mat_table.astype(f),
+            light_table=light_table.astype(f),
             bvh_rec=tree.rec.astype(f),
             bvh_skip=tree.skip.astype(i),
             bvh_tri=tree.tri_id.astype(i),
@@ -277,6 +367,7 @@ class SceneBuilder:
             num_lights=len(self.lights),
             num_instances=len(self.instances),
             bvh_max_depth=tree.max_depth,
+            tex_channels=tex_channels,
         )
         import jax
 

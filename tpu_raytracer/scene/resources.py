@@ -22,7 +22,7 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "tri_planes",
+        "tri_planes", "chunk_aabb", "tri_table", "mat_table", "light_table",
         "bvh_rec", "bvh_skip", "bvh_tri",
         "bvh_left", "bvh_right", "bvh_depth",
         "tri_inst", "tri_prim", "tri_local",
@@ -33,12 +33,24 @@ import numpy as np
         "materials", "lights",
         "color_tex", "data_tex",
     ],
-    meta_fields=["num_lights", "num_instances", "bvh_max_depth"],
+    meta_fields=["num_lights", "num_instances", "bvh_max_depth",
+                 "tex_channels"],
 )
 @dataclasses.dataclass
 class CompiledScene:
     # --- Pallas brute-force intersector planes (see ops/pallas_trace.py) ---
     tri_planes: jax.Array   # [4, 3, Tp] f32 (v0 | e1 | e2 | valid-mask)
+    chunk_aabb: jax.Array   # [Tp/CT, 8] f32 per-chunk culling boxes
+
+    # --- consolidated shading tables (one wide gather per hit; ops/hit.py) ---
+    # tri_table [T, 26]: world n0 n1 n2 (9) | uv0 uv1 uv2 (6) |
+    #                    world t0 t1 t2 (9) | tangent sign | mat_id
+    tri_table: jax.Array
+    # mat_table [M, 17]: base_color(4) emissive(3) roughness metallic
+    #                    transmission ior light_index tex ids(5)
+    mat_table: jax.Array
+    # light_table [L, 15]: position(3) type u(3) area v(3) emission(4)
+    light_table: jax.Array
 
     # --- traversal stream (see ops/bvh.py) ---
     bvh_rec: jax.Array      # [S, 12] f32
@@ -84,6 +96,10 @@ class CompiledScene:
     num_lights: int
     num_instances: int
     bvh_max_depth: int
+    # which texture channels exist anywhere in the scene - sampling for an
+    # absent channel is compiled out entirely (frozenset of:
+    # "color", "normal", "occlusion", "emissive", "metallic_roughness")
+    tex_channels: frozenset
 
     @property
     def num_triangles(self) -> int:
