@@ -135,6 +135,75 @@ def create_restir_scene():
     return b.build()
 
 
+def add_gltf_to_builder(b: SceneBuilder, meshes, materials, images,
+                        mat_indices, transform):
+    """Register loaded glTF content: texture dedup + remap into the scene's
+    color/data arrays (builder.rs:191-280), meshes, and one instance per
+    primitive with its material (builder.rs:282-314)."""
+    from ..scene.material import NO_TEXTURE
+
+    color_map: dict = {}
+    data_map: dict = {}
+
+    def remap(img_idx, srgb):
+        cache = color_map if srgb else data_map
+        if img_idx not in cache:
+            if srgb:
+                cache[img_idx] = b.add_color_texture(images[img_idx], srgb=True)
+            else:
+                cache[img_idx] = b.add_data_texture(images[img_idx])
+        return cache[img_idx]
+
+    mat_ids = []
+    for mat in materials:
+        if mat.tex_id != NO_TEXTURE:
+            mat.texture(remap(mat.tex_id, srgb=True))
+        if mat.normal_tex_id != NO_TEXTURE:
+            mat.normal_texture(remap(mat.normal_tex_id, srgb=False))
+        if mat.occlusion_tex_id != NO_TEXTURE:
+            mat.occlusion_texture(remap(mat.occlusion_tex_id, srgb=False))
+        if mat.emissive_tex_id != NO_TEXTURE:
+            mat.emissive_texture(remap(mat.emissive_tex_id, srgb=True))
+        if mat.metallic_roughness_tex_id != NO_TEXTURE:
+            mat.metallic_roughness_texture(
+                remap(mat.metallic_roughness_tex_id, srgb=False))
+        mat_ids.append(b.add_material(mat))
+
+    mesh_ids = [b.add_mesh(m) for m in meshes]
+    for i, mesh_id in enumerate(mesh_ids):
+        mat_slot = mat_indices[i] if i < len(mat_indices) else 0
+        mat_id = mat_ids[mat_slot] if mat_slot < len(mat_ids) else 0
+        b.add_instance(mesh_id, mat_id, transform)
+    return mesh_ids, mat_ids
+
+
+def create_gltf_scene(path: str, scale_factor: float = 1.0,
+                      translation_v=(0.0, -0.5, 0.0)):
+    """scenes.rs:249-319: glTF asset on a floor under a quad light.
+
+    Load failure falls back to the floor+light-only scene (the reference's
+    empty-scene fallback, scenes.rs:313-316).
+    """
+    from ..scene.loader import load_gltf
+
+    b = SceneBuilder()
+    plane_id = b.add_mesh(create_plane())
+    mat_floor = b.add_material(Material((0.73, 0.73, 0.73, 1.0)).roughness(0.9))
+    b.add_instance(plane_id, mat_floor, translation([0, -1, 0]) @ scale(6.0))
+    b.register_quad_light(
+        plane_id, translation([0, 2.0, 0]) @ rotation_x(PI) @ scale(1.5),
+        [1.0, 1.0, 1.0], 10.0)
+
+    try:
+        meshes, materials, images, mat_indices = load_gltf(path)
+        add_gltf_to_builder(
+            b, meshes, materials, images, mat_indices,
+            translation(list(translation_v)) @ scale(scale_factor))
+    except Exception as e:  # noqa: BLE001 - reference logs and falls back
+        print(f"glTF load failed ({e}); rendering empty scene")
+    return b.build()
+
+
 def create_bunny_scene(subdiv_fallback: int = 4):
     """BASELINE config 3: triangle-mesh scene in a box with instancing.
 
