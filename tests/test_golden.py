@@ -1,0 +1,33 @@
+"""Golden-image regression: Cornell box at fixed camera/seed vs stored
+reference render (SURVEY.md §4.2 - stands in for 'bit-comparable radiance')."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_raytracer.models import scenes
+from tpu_raytracer.render import camera as camera_mod
+from tpu_raytracer.render import pipeline, renderer
+from tpu_raytracer.utils.image import psnr
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "cornell_64_f8_ldr.npy")
+
+
+def test_cornell_golden_psnr():
+    w = h = 64
+    scene = scenes.create_cornell_box()
+    cam = camera_mod.CameraController()
+    state = pipeline.init_state(w, h)
+    for frame in range(8):
+        uniform = renderer.camera_to_device(
+            cam.uniform(1.0, frame, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(frame), state, w, h)
+    got = np.asarray(ldr, np.float32)
+    want = np.load(GOLDEN).astype(np.float32)
+    p = psnr(got, want)
+    # identical math -> near-lossless (f16 golden quantization ~ 70 dB);
+    # anything below 45 dB means the renderer's output actually changed
+    assert p > 45.0, f"PSNR vs golden = {p:.1f} dB"

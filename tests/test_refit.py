@@ -1,0 +1,82 @@
+"""Instance-motion refit: retransformed scene must trace like a fresh build."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_raytracer.models import scenes
+from tpu_raytracer.ops import refit, trace_api, traversal
+from tpu_raytracer.scene.material import Material
+from tpu_raytracer.scene.builder import SceneBuilder
+from tpu_raytracer.scene.geometry import create_cube, create_plane
+from tpu_raytracer.utils.math3d import rotation_y, scale, translation
+
+
+def _two_box_scene(box_pos):
+    b = SceneBuilder()
+    plane_id = b.add_mesh(create_plane())
+    cube_id = b.add_mesh(create_cube())
+    mat = b.add_material(Material((0.7, 0.7, 0.7, 1.0)))
+    b.add_instance(plane_id, mat, translation([0, -1, 0]) @ scale(4.0))
+    b.add_instance(cube_id, mat,
+                   translation(box_pos) @ rotation_y(0.3) @ scale(0.5))
+    b.register_quad_light(plane_id, translation([0, 2, 0]) @ scale(0.5),
+                          [1, 1, 1], 5.0)
+    return b.build()
+
+
+def _rays(n=512, seed=0):
+    r = np.random.default_rng(seed)
+    o = (r.random((n, 3), np.float32) - 0.5) * 6
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_update_instances_matches_fresh_build():
+    scene = _two_box_scene([0.0, -0.5, 0.0])
+    fresh = _two_box_scene([0.6, -0.2, 0.3])
+
+    # move instance 1 (the cube) on device
+    new_tf = np.stack([
+        np.asarray(scene.inst_transform[0]),
+        (translation([0.6, -0.2, 0.3]) @ rotation_y(0.3) @ scale(0.5))[:3, :4],
+        np.asarray(scene.inst_transform[2]),
+    ]).astype(np.float32)
+    moved = refit.update_instances(scene, jnp.asarray(new_tf))
+
+    ro, rd = _rays()
+    got = trace_api.scene_trace(moved, ro, rd, 1e-3, 100.0)
+    want = trace_api.scene_trace(fresh, ro, rd, 1e-3, 100.0)
+    # same hit distances (triangle ids differ: independent BVH orders)
+    hit_g = np.asarray(got["tri"]) >= 0
+    hit_w = np.asarray(want["tri"]) >= 0
+    assert (hit_g == hit_w).all()
+    assert np.abs(np.where(hit_g, np.asarray(got["t"]) - np.asarray(want["t"]),
+                           0)).max() < 1e-4
+
+    # the refit BVH stream stays valid for the pointer-traversal path too
+    got_bvh = traversal.trace(moved.bvh_rec, moved.bvh_skip, moved.bvh_tri,
+                              ro, rd, 1e-3, 100.0)
+    assert ((np.asarray(got_bvh["tri"]) >= 0) == hit_w).all()
+    assert np.abs(np.where(hit_w, np.asarray(got_bvh["t"]) -
+                           np.asarray(want["t"]), 0)).max() < 1e-4
+
+    # shading rows: world normals follow the instance rotation
+    tid = int(np.asarray(got["tri"])[np.argmax(hit_g)])
+    row = np.asarray(moved.tri_table[tid])
+    n0 = row[0:3] / np.linalg.norm(row[0:3])
+    assert np.isfinite(n0).all()
+
+
+def test_refit_identity_is_noop():
+    scene = scenes.create_cornell_box_diffuse()
+    moved = refit.update_instances(scene, scene.inst_transform)
+    assert np.allclose(np.asarray(moved.tri_planes),
+                       np.asarray(scene.tri_planes), atol=1e-5)
+    assert np.allclose(np.asarray(moved.tri_table),
+                       np.asarray(scene.tri_table), atol=1e-5)
+    # refit boxes must CONTAIN the originals (equal here, identity motion)
+    rec0 = np.asarray(scene.bvh_rec)
+    rec1 = np.asarray(moved.bvh_rec)
+    boxes = np.asarray(scene.bvh_skip) >= 0
+    assert np.abs(rec1[boxes, 0:6] - rec0[boxes, 0:6]).max() < 1e-4

@@ -1,0 +1,158 @@
+"""On-device scene refit: per-frame instance motion (TLAS-update analog).
+
+The reference rebuilds its driver TLAS to move instances
+(builder.rs:454-468, AccelerationStructureUpdateMode::Build); the TPU
+equivalent is a fully-jitted retransform of every derived structure from
+object-space data + new per-instance affines:
+
+  * world triangle soup -> intersector planes (tri_planes) and chunk AABBs,
+  * the consolidated world-space shading rows (tri_table) from the
+    object-space copy (tri_table_local) via inverse-transpose normal math,
+  * instance transform / normal-matrix tables,
+  * BVH box records bottom-up (level-ordered masked sweeps) for the
+    large-scene traversal path.
+
+Topology is untouched (same BVH structure, refit only) - matching the
+semantics of a driver TLAS update. `update_instances` is safe to call
+every frame inside the render step (BASELINE.md config 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_trace import CT
+
+
+def _affine(transforms):
+    """[I, 3, 4] or [I, 4, 4] -> (A [I,3,3], t [I,3], normal_mat [I,3,3])."""
+    transforms = jnp.asarray(transforms, jnp.float32)
+    a = transforms[:, :3, :3]
+    t = transforms[:, :3, 3]
+    nm = jnp.swapaxes(jnp.linalg.inv(a), -1, -2)
+    return a, t, nm
+
+
+def update_instances(scene, transforms):
+    """Return a new CompiledScene with instances moved to `transforms`.
+
+    transforms: [I, 3, 4] or [I, 4, 4] object->world affines (all
+    instances; pass scene.inst_transform rows for unchanged ones).
+    """
+    a, t, nm = _affine(transforms)
+    inst = scene.tri_inst                      # [T]
+    a_t = a[inst]                              # [T, 3, 3]
+    t_t = t[inst]
+    nm_t = nm[inst]
+
+    lv0 = scene.local_v0[scene.tri_local]
+    le1 = scene.local_e1[scene.tri_local]
+    le2 = scene.local_e2[scene.tri_local]
+    wv0 = jnp.einsum("tij,tj->ti", a_t, lv0) + t_t
+    we1 = jnp.einsum("tij,tj->ti", a_t, le1)
+    we2 = jnp.einsum("tij,tj->ti", a_t, le2)
+
+    # --- intersector planes + chunk AABBs ---
+    t_count = wv0.shape[0]
+    tp = scene.tri_planes.shape[2]
+    planes = scene.tri_planes
+    planes = planes.at[0, :, :t_count].set(wv0.T)
+    planes = planes.at[1, :, :t_count].set(we1.T)
+    planes = planes.at[2, :, :t_count].set(we2.T)
+
+    pad = tp - t_count
+    big = jnp.float32(3.0e38)
+
+    def padded(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad, 3), fill, jnp.float32)], axis=0)
+
+    wv1 = wv0 + we1
+    wv2 = wv0 + we2
+    mn = padded(jnp.minimum(jnp.minimum(wv0, wv1), wv2), big)
+    mx = padded(jnp.maximum(jnp.maximum(wv0, wv1), wv2), -big)
+    chunk_aabb = scene.chunk_aabb
+    chunk_aabb = chunk_aabb.at[:, 0:3].set(
+        mn.reshape(-1, CT, 3).min(axis=1))
+    chunk_aabb = chunk_aabb.at[:, 3:6].set(
+        mx.reshape(-1, CT, 3).max(axis=1))
+
+    # --- world shading rows from object-space copy ---
+    tl = scene.tri_table_local
+    tri_table = scene.tri_table
+    for k in range(3):
+        n_w = jnp.einsum("tij,tj->ti", nm_t, tl[:, k * 3:k * 3 + 3])
+        t_w = jnp.einsum("tij,tj->ti", nm_t, tl[:, 15 + k * 3:18 + k * 3])
+        tri_table = tri_table.at[:, k * 3:k * 3 + 3].set(n_w)
+        tri_table = tri_table.at[:, 15 + k * 3:18 + k * 3].set(t_w)
+
+    # --- BVH: triangle records + bottom-up box refit ---
+    rec = scene.bvh_rec
+    rows = scene.bvh_tri_rows
+    rec = rec.at[rows, 0:3].set(wv0)
+    rec = rec.at[rows, 3:6].set(we1)
+    rec = rec.at[rows, 6:9].set(we2)
+    rec = _refit_boxes(scene, rec, mn[:t_count], mx[:t_count])
+
+    return dataclasses.replace(
+        scene,
+        tri_planes=planes,
+        chunk_aabb=chunk_aabb,
+        tri_table=tri_table,
+        bvh_rec=rec,
+        inst_transform=jnp.asarray(transforms, jnp.float32)[:, :3, :4],
+        inst_normal_mat=nm,
+    )
+
+
+def _refit_boxes(scene, rec, tri_mn, tri_mx):
+    """Bottom-up AABB refit of the unified stream's box records.
+
+    Leaf boxes take the min/max over their (up to LEAF_SIZE) triangle
+    records; inner boxes the union of their two children. Processes depths
+    max..0 with masked whole-array updates - O(max_depth) sweeps, fully
+    vectorized (the standard TPU trade: a few dense passes instead of a
+    serial tree walk).
+    """
+    from .bvh import LEAF_SIZE
+
+    s = rec.shape[0]
+    is_box = scene.bvh_skip >= 0
+    is_leaf_box = is_box & (scene.bvh_left < 0)
+    idx = jnp.arange(s, dtype=jnp.int32)
+
+    # leaf boxes: triangles are the records idx+1 .. skip-1
+    leaf_mn = jnp.full((s, 3), 3.0e38, jnp.float32)
+    leaf_mx = jnp.full((s, 3), -3.0e38, jnp.float32)
+    for k in range(LEAF_SIZE):
+        child = jnp.clip(idx + 1 + k, 0, s - 1)
+        in_range = (idx + 1 + k) < scene.bvh_skip
+        tid = jnp.maximum(scene.bvh_tri[child], 0)
+        ok = (is_leaf_box & in_range)[:, None]
+        leaf_mn = jnp.where(ok, jnp.minimum(leaf_mn, tri_mn[tid]), leaf_mn)
+        leaf_mx = jnp.where(ok, jnp.maximum(leaf_mx, tri_mx[tid]), leaf_mx)
+
+    new_mn = jnp.where(is_leaf_box[:, None], leaf_mn, rec[:, 0:3])
+    new_mx = jnp.where(is_leaf_box[:, None], leaf_mx, rec[:, 3:6])
+
+    max_depth = int(scene.bvh_max_depth)
+    left = jnp.maximum(scene.bvh_left, 0)
+    right = jnp.maximum(scene.bvh_right, 0)
+    is_inner = is_box & (scene.bvh_left >= 0)
+
+    def level(d, carry):
+        mn, mx = carry
+        at_level = is_inner & (scene.bvh_depth == max_depth - 1 - d)
+        u_mn = jnp.minimum(mn[left], mn[right])
+        u_mx = jnp.maximum(mx[left], mx[right])
+        mn = jnp.where(at_level[:, None], u_mn, mn)
+        mx = jnp.where(at_level[:, None], u_mx, mx)
+        return mn, mx
+
+    new_mn, new_mx = jax.lax.fori_loop(0, max_depth, level, (new_mn, new_mx))
+    rec = rec.at[:, 0:3].set(jnp.where(is_box[:, None], new_mn, rec[:, 0:3]))
+    rec = rec.at[:, 3:6].set(jnp.where(is_box[:, None], new_mx, rec[:, 3:6]))
+    return rec

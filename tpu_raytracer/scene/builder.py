@@ -269,24 +269,39 @@ class SceneBuilder:
         # transform-after-interpolate order (restir.wgsl:422-431).
         t_total = len(tri_inst)
         tri_table = np.zeros((max(t_total, 1), 26), np.float32)
+        tri_table_local = np.zeros_like(tri_table)
         row = 0
         for inst_id, (mesh_id, mat_id, tf) in enumerate(self.instances):
             mesh = self.meshes[mesh_id]
             nt = mesh.num_triangles
             nm = np.linalg.inv(tf[:3, :3]).T.astype(np.float32)
             tri = mesh.indices.reshape(-1, 3).astype(np.int64)
-            n_world = _oct_decode_np(mesh.oct_normals) @ nm.T   # [V, 3]
-            t_world = mesh.tangents[:, :3] @ nm.T
+            n_local = _oct_decode_np(mesh.oct_normals)          # [V, 3]
+            n_world = n_local @ nm.T
+            t_local = mesh.tangents[:, :3]
+            t_world = t_local @ nm.T
             blk = tri_table[row:row + nt]
+            blk_l = tri_table_local[row:row + nt]
             for k in range(3):
                 blk[:, k * 3:k * 3 + 3] = n_world[tri[:, k]]
+                blk_l[:, k * 3:k * 3 + 3] = n_local[tri[:, k]]
                 blk[:, 9 + k * 2:11 + k * 2] = mesh.uvs[tri[:, k]]
+                blk_l[:, 9 + k * 2:11 + k * 2] = mesh.uvs[tri[:, k]]
                 blk[:, 15 + k * 3:18 + k * 3] = t_world[tri[:, k]]
+                blk_l[:, 15 + k * 3:18 + k * 3] = t_local[tri[:, k]]
             blk[:, 24] = mesh.tangents[tri[:, 0], 3]   # sign from v0
             blk[:, 25] = mat_id
+            blk_l[:, 24:26] = blk[:, 24:26]
             row += nt
         if t_total > 0:
             tri_table = tri_table[order]   # match BVH-DFS triangle order
+            tri_table_local = tri_table_local[order]
+
+        # stream row of each triangle's BVH record (for on-device refit)
+        bvh_tri_rows = np.zeros((max(t_total, 1),), np.int32)
+        tri_rows = np.where(tree.skip < 0)[0]
+        if t_total > 0:
+            bvh_tri_rows[tree.tri_id[tri_rows]] = tri_rows.astype(np.int32)
 
         # material table [M, 17] (+ texture-channel presence flags)
         materials = pack_materials(self.materials)
@@ -334,6 +349,8 @@ class SceneBuilder:
             tri_planes=tri_planes,
             chunk_aabb=chunk_aabb,
             tri_table=tri_table.astype(f),
+            tri_table_local=tri_table_local.astype(f),
+            bvh_tri_rows=bvh_tri_rows,
             mat_table=mat_table.astype(f),
             light_table=light_table.astype(f),
             bvh_rec=tree.rec.astype(f),

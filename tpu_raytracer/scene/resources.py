@@ -22,7 +22,8 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "tri_planes", "chunk_aabb", "tri_table", "mat_table", "light_table",
+        "tri_planes", "chunk_aabb", "tri_table", "tri_table_local",
+        "mat_table", "light_table", "bvh_tri_rows",
         "bvh_rec", "bvh_skip", "bvh_tri",
         "bvh_left", "bvh_right", "bvh_depth",
         "tri_inst", "tri_prim", "tri_local",
@@ -46,9 +47,14 @@ class CompiledScene:
     # tri_table [T, 26]: world n0 n1 n2 (9) | uv0 uv1 uv2 (6) |
     #                    world t0 t1 t2 (9) | tangent sign | mat_id
     tri_table: jax.Array
+    # tri_table in OBJECT space (same layout; world = per-instance transform
+    # applied at refit time, ops/refit.py)
+    tri_table_local: jax.Array
     # mat_table [M, 17]: base_color(4) emissive(3) roughness metallic
     #                    transmission ior light_index tex ids(5)
     mat_table: jax.Array
+    # stream row index of each triangle's record in the BVH stream [T] i32
+    bvh_tri_rows: jax.Array
     # light_table [L, 15]: position(3) type u(3) area v(3) emission(4)
     light_table: jax.Array
 
