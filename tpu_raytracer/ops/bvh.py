@@ -60,6 +60,44 @@ class BVH:
         return len(self.skip)
 
 
+def build_bvh_native(aabb_min: np.ndarray, aabb_max: np.ndarray,
+                     leaf_size: int = LEAF_SIZE,
+                     num_bins: int = NUM_BINS):
+    """C++ binned-SAH builder (runtime/native); None if unavailable."""
+    from ..runtime import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    t = aabb_min.shape[0]
+    cap = 3 * max(t, 1) + 8
+    mn = np.ascontiguousarray(aabb_min, np.float32)
+    mx = np.ascontiguousarray(aabb_max, np.float32)
+    rec = np.zeros((cap, REC_WIDTH), np.float32)
+    skip = np.zeros((cap,), np.int32)
+    tri = np.zeros((cap,), np.int32)
+    left = np.zeros((cap,), np.int32)
+    right = np.zeros((cap,), np.int32)
+    depth = np.zeros((cap,), np.int32)
+    out_depth = np.zeros((1,), np.int32)
+    s = lib.tpurt_build_bvh(
+        mn.ctypes.data, mx.ctypes.data, t, leaf_size, num_bins,
+        rec.ctypes.data, skip.ctypes.data, tri.ctypes.data,
+        left.ctypes.data, right.ctypes.data, depth.ctypes.data,
+        out_depth.ctypes.data, cap)
+    if s < 0:
+        return None
+    if s == 0:  # empty scene sentinel matches the python builder
+        s = 1
+        skip[0] = 1
+        tri[0] = -1
+        left[0] = right[0] = depth[0] = -1
+    return BVH(rec=rec[:s].copy(), skip=skip[:s].copy(),
+               tri_id=tri[:s].copy(), box_left=left[:s].copy(),
+               box_right=right[:s].copy(), depth=depth[:s].copy(),
+               max_depth=int(out_depth[0]))
+
+
 def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray,
               leaf_size: int = LEAF_SIZE, num_bins: int = NUM_BINS) -> tuple:
     """Build over triangle AABBs. Returns (BVH, tri-record-filler callback).
@@ -68,7 +106,13 @@ def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray,
     The returned BVH's `rec` has triangle slots zero-filled; call
     `fill_triangles(bvh, v0, e1, e2)` with ORIGINAL-indexed arrays to
     populate them (kept separate so refit/updates can re-fill cheaply).
+
+    Uses the native C++ builder when available (identical stream format);
+    the Python implementation below is the reference and fallback.
     """
+    native_tree = build_bvh_native(aabb_min, aabb_max, leaf_size, num_bins)
+    if native_tree is not None:
+        return native_tree
     t_count = aabb_min.shape[0]
     centroids = (aabb_min + aabb_max) * 0.5
 

@@ -15,7 +15,9 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(__file__)
-_SRC = os.path.join(_HERE, "native", "png_writer.cpp")
+_SRCS = [os.path.join(_HERE, "native", "png_writer.cpp"),
+         os.path.join(_HERE, "native", "bvh_builder.cpp")]
+_SRC = _SRCS[0]
 _LIB = os.path.join(_HERE, "native", "libtpurt.so")
 
 _lock = threading.Lock()
@@ -24,7 +26,7 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS,
            "-o", _LIB, "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -40,8 +42,8 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
             if not _build():
                 return None
         try:
@@ -58,6 +60,12 @@ def get_lib():
             lib.tpurt_depad_rows.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+            lib.tpurt_build_bvh.restype = ctypes.c_int
+            lib.tpurt_build_bvh.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
             _lib = lib
         except OSError:
             _lib = None
