@@ -1,62 +1,173 @@
-"""Headline benchmark: Cornell Box ReSTIR, Mrays/s/chip sustained.
+"""Benchmarks.
 
-Runs the full flagship pipeline (G-buffer -> ReSTIR temporal -> spatial ->
-post) on the real device and reports exactly-counted traversal queries per
-second (primary + bounce + NEE shadow + spatial visibility + replay rays).
+Default (driver) mode prints ONE JSON headline line:
+Cornell Box ReSTIR at 512x512, exactly-counted Mrays/s per chip
+(vs_baseline = ratio to the BASELINE.md 100 Mrays/s/chip north-star floor).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline = the BASELINE.md north-star floor of 100 Mrays/s/chip.
+`--config N` (1..5) runs the BASELINE.md benchmark configs:
+  1 Cornell diffuse-only, fixed camera, 512x512, 1 spp progressive
+  2 Cornell specular/dielectric, accumulate toward 1024 spp (measured rate,
+    extrapolated wall-clock)
+  3 dense-mesh instancing scene (bunny-class), TLAS/BLAS two-level path
+  4 interactive fly-through at 1080p with per-frame instance refit and
+    accumulation reset
+  5 4K render with the in-loop a-trous denoiser (OIDN screenshot analogue)
 """
 
+import argparse
 import json
 import sys
 import time
 
 sys.path.insert(0, ".")
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 
-def main():
-    from tpu_raytracer.models import scenes
+def _measure_restir(scene, width, height, warmup, measured, move=False,
+                    refit_transforms=None):
+    from tpu_raytracer.ops import refit as refit_ops
     from tpu_raytracer.render import camera as camera_mod
     from tpu_raytracer.render import pipeline, renderer
 
-    width = height = 512
-    warmup, measured = 2, 8
-
-    scene = scenes.create_cornell_box()
     cam = camera_mod.CameraController()
     state = pipeline.init_state(width, height)
-
     total_rays = 0.0
     t0 = None
-    for frame in range(warmup + measured):
+    frame_count = 0
+    for i in range(warmup + measured):
+        if move:
+            cam.press("d")
+            cam.update(1.0 / 60.0)
+            cam.release("d")
+            frame_count = 0       # accumulation reset on motion
+        if refit_transforms is not None:
+            scene = refit_ops.update_instances(
+                scene, refit_transforms(i, scene))
         uniform = renderer.camera_to_device(
-            cam.uniform(width / height, frame, scene.num_lights))
+            cam.uniform(width / height, frame_count, scene.num_lights))
         ldr, hdr, state, aux = pipeline.render_frame(
-            scene, uniform, jnp.uint32(frame), state, width, height)
-        if frame == warmup - 1:
+            scene, uniform, jnp.uint32(frame_count), state, width, height)
+        frame_count += 1
+        if i == warmup - 1:
             jax.block_until_ready(ldr)
             t0 = time.time()
-        elif frame >= warmup:
+        elif i >= warmup:
             total_rays += float(aux["rays"])
     jax.block_until_ready(ldr)
     dt = time.time() - t0
+    return {"fps": measured / dt, "mrays": total_rays / dt / 1e6,
+            "ms_per_frame": dt / measured * 1e3}
 
-    mrays = total_rays / dt / 1e6
-    fps = measured / dt
+
+def headline():
+    from tpu_raytracer.models import scenes
+
+    scene = scenes.create_cornell_box()
+    r = _measure_restir(scene, 512, 512, 2, 8)
     print(json.dumps({
-        "metric": f"cornell_restir_{width}x{height}_mrays_per_s_per_chip",
-        "value": round(mrays, 2),
+        "metric": "cornell_restir_512x512_mrays_per_s_per_chip",
+        "value": round(r["mrays"], 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 100.0, 3),
-        "detail": {"fps": round(fps, 2), "frames": measured,
-                   "rays": int(total_rays),
+        "vs_baseline": round(r["mrays"] / 100.0, 3),
+        "detail": {"fps": round(r["fps"], 2),
                    "device": str(jax.devices()[0])},
     }))
 
 
+def config(n: int):
+    from tpu_raytracer.models import scenes
+
+    if n == 1:
+        from tpu_raytracer.render import camera as camera_mod
+        from tpu_raytracer.render import renderer
+
+        scene = scenes.create_cornell_box_diffuse()
+        w = h = 512
+        cam = camera_mod.CameraController()
+        accum = renderer.make_accum(w, h)
+        t0 = None
+        frames = 34
+        for f in range(frames):
+            uniform = renderer.camera_to_device(
+                cam.uniform(1.0, f, scene.num_lights))
+            accum, rad = renderer.render_progressive(
+                scene, uniform, jnp.uint32(f), accum, w, h)
+            if f == 1:
+                accum.block_until_ready()
+                t0 = time.time()
+        accum.block_until_ready()
+        dt = time.time() - t0
+        out = {"config": 1, "fps_1spp_progressive": round((frames - 2) / dt, 2),
+               "resolution": "512x512"}
+    elif n == 2:
+        scene = scenes.create_cornell_box()
+        r = _measure_restir(scene, 512, 512, 2, 16)
+        out = {"config": 2, "fps": round(r["fps"], 2),
+               "extrapolated_s_to_1024spp": round(1024 / r["fps"], 1),
+               "mrays_per_s": round(r["mrays"], 2)}
+    elif n == 3:
+        scene = scenes.create_bunny_scene()
+        r = _measure_restir(scene, 512, 512, 2, 8)
+        out = {"config": 3, "fps": round(r["fps"], 2),
+               "tris": scene.num_triangles,
+               "mrays_per_s": round(r["mrays"], 2)}
+    elif n == 4:
+        scene = scenes.create_cornell_box()
+        from tpu_raytracer.utils.math3d import (rotation_y, scale,
+                                                translation)
+
+        base = np.asarray(scene.inst_transform)
+
+        def wobble(i, s):
+            tf = base.copy()
+            crystal = (translation([0.4, -0.5 + 0.02 * (i % 8), 0.3])
+                       @ rotation_y(0.1 * i) @ scale(0.5))
+            tf[6] = crystal[:3, :4]
+            return jnp.asarray(tf)
+
+        r = _measure_restir(scene, 1920, 1080, 2, 6, move=True,
+                            refit_transforms=wobble)
+        out = {"config": 4, "fps_1080p_flythrough_refit": round(r["fps"], 3),
+               "mrays_per_s": round(r["mrays"], 2)}
+    elif n == 5:
+        from tpu_raytracer.app.screenshot import denoised_screenshot
+        from tpu_raytracer.ops import gbuffer as gbuffer_ops
+        from tpu_raytracer.render import camera as camera_mod
+        from tpu_raytracer.render import pipeline, renderer
+
+        scene = scenes.create_cornell_box()
+        w, h = 3840, 2160
+        cam = camera_mod.CameraController()
+        state = pipeline.init_state(w, h)
+        uniform = renderer.camera_to_device(
+            cam.uniform(w / h, 0, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(0), state, w, h)
+        jax.block_until_ready(ldr)
+        t0 = time.time()
+        uniform = renderer.camera_to_device(
+            cam.uniform(w / h, 1, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(1), state, w, h)
+        gb = gbuffer_ops.unpack_gb(state["gb"])
+        img = denoised_screenshot(scene, hdr, gb, w, h)
+        jax.block_until_ready(img)
+        out = {"config": 5, "s_per_4k_denoised_frame":
+               round(time.time() - t0, 2)}
+    else:
+        raise SystemExit(f"unknown config {n}")
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0,
+                    help="BASELINE config 1-5; default: driver headline")
+    args = ap.parse_args()
+    if args.config:
+        config(args.config)
+    else:
+        headline()
