@@ -1,23 +1,26 @@
-"""Pallas TPU intersector: blocked brute-force Moller-Trumbore.
+"""Pallas TPU intersector: chunk-culled blocked Moller-Trumbore.
 
-Why brute force: on TPU, per-lane BVH pointer chasing needs random gathers,
-and XLA gathers have a ~110 us/step floor while Mosaic's `dynamic_gather`
-only spans one vreg (128-entry tables). For the scene sizes this framework
-targets interactively (10^3..10^4 triangles), testing EVERY triangle against
-every ray in a VMEM-blocked sweep is both simpler and dramatically faster:
-zero divergence, zero gathers, pure VPU throughput, and triangle data stays
-resident in VMEM across the whole ray block.
+Why not per-lane BVH walks: on TPU those need random gathers, and XLA
+gathers cost ~4 ms per fetch at G-buffer sizes while Mosaic's
+`dynamic_gather` spans one 128-lane vreg. Instead, triangles sit
+VMEM-resident in BVH-DFS order (spatially tight 128-tri chunks,
+scene/builder.py) and intersection is a blocked sweep:
 
-Kernel shape: grid over ray blocks (BR rays); inner fori over triangle
-chunks (CT tris). Per step computes a [BR, CT] MT test in registers and
-reduces arg-min-t on the fly. Replaces hardware `ray_query`
-(gbuffer.wgsl:108, restir.wgsl:601) for the default scene sizes; the
-unified-stream BVH (ops/traversal.py) remains the large-scene path and the
-refit structure for TLAS-style per-frame updates.
+  1. A cheap XLA pre-pass slab-tests every live ray against every chunk
+     AABB and OR-reduces per 256-ray block into a compacted per-block
+     chunk WORKLIST (block-frustum culling; dead blocks get an empty
+     list - free lane compaction for terminated wavefronts).
+  2. The kernel walks only its block's worklist; each step is a fully
+     unrolled [BR x CT] MT test in registers with an on-the-fly
+     arg-min-t - zero divergence, zero in-kernel gathers.
 
-Layout: triangles packed as 4 planes of shape [3, T]: v0, e1, e2 plus a
-fourth plane whose first row is a validity mask (padding kills phantom
-hits). Rays pass as [8, R] (o.xyz, d.xyz, t_min, t_max).
+Replaces hardware `ray_query` (gbuffer.wgsl:108, restir.wgsl:601) for the
+default scene sizes; the unified-stream BVH (ops/traversal.py) remains the
+large-scene path and the refit structure for TLAS-style updates.
+
+Layout: triangles packed as 4 planes of shape [3, Tp]: v0, e1, e2 plus a
+validity row (padding kills phantom hits); chunk AABBs [Tp/CT, 8]; rays
+[8, R] (o.xyz, d.xyz, t_min, t_max).
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 INF = 3.0e38
 
 BR = 256      # rays per block (sublane-major)
-CT = 512      # triangles per inner chunk (lane-major)
+CT = 128      # triangles per inner chunk (lane-major) = cull granularity
 _MT_EPS = 1e-9
 
 
@@ -52,8 +55,7 @@ def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     planes[3, 0, :t] = 1.0
 
     # per-chunk world AABBs (BVH-DFS triangle order makes chunks spatially
-    # tight); reserved for a chunk-skipping kernel - current Mosaic builds
-    # miscompile both pl.when- and lax.cond-guarded chunk bodies here.
+    # tight) driving the per-block worklist cull.
     nc = tp // CT
     aabb = np.zeros((nc, 8), np.float32)
     v1 = v0 + e1
@@ -72,16 +74,24 @@ def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     return planes, aabb, tp
 
 
-def _mt_kernel(rays_ref, tri_ref, t_ref, idx_ref, uvf_ref, *, num_chunks,
-               any_hit):
+def _mt_kernel(count_ref, list_ref, rays_ref, tri_ref, t_ref, idx_ref,
+               uvf_ref, *, num_chunks, any_hit):
     rays = rays_ref[:]                      # [8, BR]
     ox, oy, oz = rays[0], rays[1], rays[2]  # [BR]
     dx, dy, dz = rays[3], rays[4], rays[5]
     t_min = rays[6]
     t_max = rays[7]
 
-    def chunk(c, carry):
+    # Per-block chunk worklist (host-of-kernel XLA pass): only chunks whose
+    # AABB intersects some live ray of this block are visited - the
+    # block-frustum culling that replaces per-ray BVH traversal. Dead
+    # blocks have count 0 and skip the sweep entirely.
+    b = pl.program_id(0)
+    n_live = count_ref[b]
+
+    def chunk(i, carry):
         t_best, idx_best, u_best, v_best, f_best = carry
+        c = list_ref[b, i]
         tri = tri_ref[:, :, pl.ds(c * CT, CT)]    # [4, 3, CT]
         v0x, v0y, v0z = tri[0, 0], tri[0, 1], tri[0, 2]   # [CT]
         e1x, e1y, e1z = tri[1, 0], tri[1, 1], tri[1, 2]
@@ -141,7 +151,7 @@ def _mt_kernel(rays_ref, tri_ref, t_ref, idx_ref, uvf_ref, *, num_chunks,
         jnp.zeros((BR,), jnp.float32),
     )
     t_best, idx_best, u_best, v_best, f_best = jax.lax.fori_loop(
-        0, num_chunks, chunk, init
+        0, n_live, chunk, init
     )
     t_ref[0, :] = t_best
     idx_ref[0, :] = idx_best
@@ -178,7 +188,42 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     rays = rays.at[6, :r].set(t_min)
     rays = rays.at[7, :r].set(t_max)
 
-    grid = (rp // BR,)
+    # --- block-level chunk culling (cheap XLA pre-pass) ---
+    # per-ray slab tests against every chunk AABB, OR-reduced per block,
+    # compacted to a per-block chunk worklist (hits sorted first)
+    nb = rp // BR
+    if nb * num_chunks * 4 > 4 * 1024 * 1024:
+        # worklists would blow SMEM (huge frame x huge scene): plain sweep
+        counts = jnp.full((nb,), num_chunks, jnp.int32)
+        chunk_list = jnp.broadcast_to(
+            jnp.arange(num_chunks, dtype=jnp.int32)[None, :],
+            (nb, num_chunks))
+        return _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb,
+                           num_chunks, tp, any_hit)
+    o_b = rays[0:3].T.reshape(nb, BR, 1, 3)
+    d_pad = rays[3:6].T
+    eps = 1e-12
+    inv_d = 1.0 / jnp.where(jnp.abs(d_pad) < eps,
+                            jnp.where(d_pad < 0, -eps, eps), d_pad)
+    inv_b = inv_d.reshape(nb, BR, 1, 3)
+    tmin_b = rays[6].reshape(nb, BR, 1)
+    tmax_b = rays[7].reshape(nb, BR, 1)
+    a = (chunk_aabb[None, None, :, 0:3] - o_b) * inv_b
+    bb = (chunk_aabb[None, None, :, 3:6] - o_b) * inv_b
+    t_entry = jnp.maximum(jnp.max(jnp.minimum(a, bb), axis=-1), tmin_b)
+    t_exit = jnp.minimum(jnp.min(jnp.maximum(a, bb), axis=-1), tmax_b)
+    ray_hit = (t_entry <= t_exit) & (tmax_b > 0.0)        # [nb, BR, NC]
+    block_hit = ray_hit.any(axis=1)                        # [nb, NC]
+    counts = block_hit.sum(axis=1).astype(jnp.int32)       # [nb]
+    # stable argsort puts hit chunk ids (ascending) first
+    chunk_list = jnp.argsort(~block_hit, axis=1, stable=True).astype(jnp.int32)
+
+    return _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb,
+                       num_chunks, tp, any_hit)
+
+
+def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
+                tp, any_hit):
     kernel = functools.partial(_mt_kernel, num_chunks=num_chunks,
                                any_hit=any_hit)
     # CPU backend (tests / multi-chip dry runs on virtual devices) runs the
@@ -186,9 +231,12 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     interpret = jax.default_backend() != "tpu"
     t, idx, uvf = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(nb,),
         interpret=interpret,
         in_specs=[
+            pl.BlockSpec((nb,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb, num_chunks), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 3, tp), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -203,7 +251,7 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
             jax.ShapeDtypeStruct((3, rp), jnp.float32),
         ],
-    )(rays, tri_planes)
+    )(counts, chunk_list, rays, tri_planes)
 
     missed = idx[0, :r] < 0
     return {

@@ -16,11 +16,23 @@ import jax.numpy as jnp
 from ..scene.material import NO_TEXTURE
 
 
-def sample_bilinear(tex, layer, uv):
-    """Sample [L, H, W, 3] array with repeat addressing + bilinear filter.
+def pack_pairs(tex):
+    """[L, H, W, 3] -> [L, H, W, 6]: each row stores texel x AND texel
+    (x+1 mod W), so one row gather yields both bilinear x-taps. Costs 2x
+    texture memory to halve the dominant per-sample cost (TPU gathers are
+    ~15 ns/row regardless of width)."""
+    import jax
+
+    rolled = jnp.roll(tex, -1, axis=2)
+    return jnp.concatenate([tex, rolled], axis=-1)
+
+
+def sample_bilinear(tex_pairs, layer, uv):
+    """Sample a pair-packed [L, H, W, 6] array with repeat addressing +
+    bilinear filter (2 row gathers instead of 4 texel gathers).
 
     Args:
-      tex: [L, H, W, 3] (any float dtype; bf16 storage upcasts here).
+      tex_pairs: [L, H, W, 6] from `pack_pairs` (any float dtype).
       layer: [R] int32 texture ids. ``NO_TEXTURE`` lanes return 1.0 (callers
         typically multiply; matches the reference's `if tex_id != 65535`
         guards, e.g. gbuffer.wgsl:182-193).
@@ -28,7 +40,7 @@ def sample_bilinear(tex, layer, uv):
 
     Returns [R, 3] float32.
     """
-    l, h, w = tex.shape[0], tex.shape[1], tex.shape[2]
+    l, h, w = tex_pairs.shape[0], tex_pairs.shape[1], tex_pairs.shape[2]
     valid = layer != NO_TEXTURE
     layer_safe = jnp.where(valid, jnp.minimum(layer, l - 1), 0)
 
@@ -42,21 +54,16 @@ def sample_bilinear(tex, layer, uv):
     y0 = y0.astype(jnp.int32)
 
     xi0 = jnp.mod(x0, w)
-    xi1 = jnp.mod(x0 + 1, w)
     yi0 = jnp.mod(y0, h)
     yi1 = jnp.mod(y0 + 1, h)
 
-    flat = tex.reshape(-1, 3)
+    flat = tex_pairs.reshape(-1, 6)
     base = layer_safe * (h * w)
 
-    def fetch(yi, xi):
-        return flat[base + yi * w + xi].astype(jnp.float32)
+    top_pair = flat[base + yi0 * w + xi0].astype(jnp.float32)   # [R, 6]
+    bot_pair = flat[base + yi1 * w + xi0].astype(jnp.float32)
 
-    c00 = fetch(yi0, xi0)
-    c10 = fetch(yi0, xi1)
-    c01 = fetch(yi1, xi0)
-    c11 = fetch(yi1, xi1)
-    top = c00 * (1 - fx) + c10 * fx
-    bot = c01 * (1 - fx) + c11 * fx
+    top = top_pair[:, 0:3] * (1 - fx) + top_pair[:, 3:6] * fx
+    bot = bot_pair[:, 0:3] * (1 - fx) + bot_pair[:, 3:6] * fx
     out = top * (1 - fy) + bot * fy
     return jnp.where(valid[:, None], out, 1.0)

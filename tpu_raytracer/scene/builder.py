@@ -172,6 +172,8 @@ class SceneBuilder:
     def build(self, dtype=np.float32) -> CompiledScene:
         import jax.numpy as jnp
 
+        from ..ops import textures as textures_mod
+
         # 1. global concatenated attributes / indices (builder.rs:123-141)
         attr_n, attr_uv, attr_tan, indices = [], [], [], []
         mesh_voff, mesh_ioff = [], []
@@ -379,8 +381,10 @@ class SceneBuilder:
             mesh_index_offset=np.asarray(mesh_ioff, i),
             materials=materials,
             lights=lights,
-            color_tex=jnp.asarray(color_tex, jnp.bfloat16),
-            data_tex=jnp.asarray(data_tex, jnp.bfloat16),
+            color_tex=textures_mod.pack_pairs(
+                jnp.asarray(color_tex, jnp.bfloat16)),
+            data_tex=textures_mod.pack_pairs(
+                jnp.asarray(data_tex, jnp.bfloat16)),
             num_lights=len(self.lights),
             num_instances=len(self.instances),
             bvh_max_depth=tree.max_depth,

@@ -94,9 +94,10 @@ class CompiledScene:
     materials: dict          # SoA dict, see material.pack_materials
     lights: dict             # SoA dict, see light.pack_lights
 
-    # --- texture arrays (1024x1024, bf16; color pre-decoded sRGB->linear) ---
-    color_tex: jax.Array     # [C, H, W, 3]
-    data_tex: jax.Array      # [D, H, W, 3]
+    # --- texture arrays (1024x1024, bf16, texel-PAIR packed for 2-gather
+    # bilinear; color pre-decoded sRGB->linear) ---
+    color_tex: jax.Array     # [C, H, W, 6]
+    data_tex: jax.Array      # [D, H, W, 6]
 
     # --- static metadata ---
     num_lights: int
