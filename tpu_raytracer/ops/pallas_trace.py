@@ -75,7 +75,7 @@ def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
 
 
 def _mt_kernel(count_ref, list_ref, rays_ref, tri_ref, t_ref, idx_ref,
-               uvf_ref, *, num_chunks, any_hit):
+               uvf_ref, *, num_chunks, any_hit, use_worklist=True):
     rays = rays_ref[:]                      # [8, BR]
     ox, oy, oz = rays[0], rays[1], rays[2]  # [BR]
     dx, dy, dz = rays[3], rays[4], rays[5]
@@ -87,11 +87,11 @@ def _mt_kernel(count_ref, list_ref, rays_ref, tri_ref, t_ref, idx_ref,
     # block-frustum culling that replaces per-ray BVH traversal. Dead
     # blocks have count 0 and skip the sweep entirely.
     b = pl.program_id(0)
-    n_live = count_ref[b]
+    n_live = count_ref[b] if use_worklist else num_chunks
 
     def chunk(i, carry):
         t_best, idx_best, u_best, v_best, f_best = carry
-        c = list_ref[b, i]
+        c = list_ref[i, b] if use_worklist else i
         tri = tri_ref[:, :, pl.ds(c * CT, CT)]    # [4, 3, CT]
         v0x, v0y, v0z = tri[0, 0], tri[0, 1], tri[0, 2]   # [CT]
         e1x, e1y, e1z = tri[1, 0], tri[1, 1], tri[1, 2]
@@ -192,14 +192,6 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     # per-ray slab tests against every chunk AABB, OR-reduced per block,
     # compacted to a per-block chunk worklist (hits sorted first)
     nb = rp // BR
-    if nb * num_chunks * 4 > 4 * 1024 * 1024:
-        # worklists would blow SMEM (huge frame x huge scene): plain sweep
-        counts = jnp.full((nb,), num_chunks, jnp.int32)
-        chunk_list = jnp.broadcast_to(
-            jnp.arange(num_chunks, dtype=jnp.int32)[None, :],
-            (nb, num_chunks))
-        return _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb,
-                           num_chunks, tp, any_hit)
     o_b = rays[0:3].T.reshape(nb, BR, 1, 3)
     d_pad = rays[3:6].T
     eps = 1e-12
@@ -215,8 +207,9 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     ray_hit = (t_entry <= t_exit) & (tmax_b > 0.0)        # [nb, BR, NC]
     block_hit = ray_hit.any(axis=1)                        # [nb, NC]
     counts = block_hit.sum(axis=1).astype(jnp.int32)       # [nb]
-    # stable argsort puts hit chunk ids (ascending) first
-    chunk_list = jnp.argsort(~block_hit, axis=1, stable=True).astype(jnp.int32)
+    # stable argsort puts hit chunk ids (ascending) first; stored [NC, nb]
+    chunk_list = jnp.argsort(~block_hit, axis=1, stable=True
+                             ).astype(jnp.int32).T
 
     return _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb,
                        num_chunks, tp, any_hit)
@@ -224,8 +217,15 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
 
 def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
                 tp, any_hit):
+    # SMEM pads the minor dim to 128; when worklists would blow the ~1MB
+    # SMEM budget (huge frame x huge scene) the kernel sweeps all chunks
+    # and ignores the (dummy) list.
+    nb_pad = ((nb + 127) // 128) * 128
+    use_worklist = num_chunks * nb_pad * 4 <= 512 * 1024
+    if not use_worklist:
+        chunk_list = jnp.zeros((1, nb), jnp.int32)
     kernel = functools.partial(_mt_kernel, num_chunks=num_chunks,
-                               any_hit=any_hit)
+                               any_hit=any_hit, use_worklist=use_worklist)
     # CPU backend (tests / multi-chip dry runs on virtual devices) runs the
     # kernel in the Pallas interpreter; TPU compiles via Mosaic.
     interpret = jax.default_backend() != "tpu"
@@ -235,8 +235,8 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
         interpret=interpret,
         in_specs=[
             pl.BlockSpec((nb,), lambda b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nb, num_chunks), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_chunks if use_worklist else 1, nb),
+                         lambda b: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 3, tp), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
