@@ -17,22 +17,22 @@ from ..scene.material import NO_TEXTURE
 
 
 def pack_pairs(tex):
-    """[L, H, W, 3] -> [L, H, W, 6]: each row stores texel x AND texel
-    (x+1 mod W), so one row gather yields both bilinear x-taps. Costs 2x
-    texture memory to halve the dominant per-sample cost (TPU gathers are
-    ~15 ns/row regardless of width)."""
-    import jax
+    """[L, H, W, 3] -> [L, H, W, 12]: each row stores the full bilinear
+    2x2 quad (x,y), (x+1,y), (x,y+1), (x+1,y+1) with wrap addressing, so a
+    bilinear sample is ONE row gather. Costs 4x texture memory: TPU gather
+    cost is ~15 ns/row regardless of width, so row count is everything."""
+    right = jnp.roll(tex, -1, axis=2)
+    down = jnp.roll(tex, -1, axis=1)
+    down_right = jnp.roll(down, -1, axis=2)
+    return jnp.concatenate([tex, right, down, down_right], axis=-1)
 
-    rolled = jnp.roll(tex, -1, axis=2)
-    return jnp.concatenate([tex, rolled], axis=-1)
 
-
-def sample_bilinear(tex_pairs, layer, uv):
-    """Sample a pair-packed [L, H, W, 6] array with repeat addressing +
-    bilinear filter (2 row gathers instead of 4 texel gathers).
+def sample_bilinear(tex_quads, layer, uv):
+    """Sample a quad-packed [L, H, W, 12] array with repeat addressing +
+    bilinear filter (a single row gather per sample).
 
     Args:
-      tex_pairs: [L, H, W, 6] from `pack_pairs` (any float dtype).
+      tex_quads: [L, H, W, 12] from `pack_pairs` (any float dtype).
       layer: [R] int32 texture ids. ``NO_TEXTURE`` lanes return 1.0 (callers
         typically multiply; matches the reference's `if tex_id != 65535`
         guards, e.g. gbuffer.wgsl:182-193).
@@ -40,7 +40,7 @@ def sample_bilinear(tex_pairs, layer, uv):
 
     Returns [R, 3] float32.
     """
-    l, h, w = tex_pairs.shape[0], tex_pairs.shape[1], tex_pairs.shape[2]
+    l, h, w = tex_quads.shape[0], tex_quads.shape[1], tex_quads.shape[2]
     valid = layer != NO_TEXTURE
     layer_safe = jnp.where(valid, jnp.minimum(layer, l - 1), 0)
 
@@ -50,20 +50,13 @@ def sample_bilinear(tex_pairs, layer, uv):
     y0 = jnp.floor(y)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    xi0 = jnp.mod(x0.astype(jnp.int32), w)
+    yi0 = jnp.mod(y0.astype(jnp.int32), h)
 
-    xi0 = jnp.mod(x0, w)
-    yi0 = jnp.mod(y0, h)
-    yi1 = jnp.mod(y0 + 1, h)
+    flat = tex_quads.reshape(-1, 12)
+    quad = flat[layer_safe * (h * w) + yi0 * w + xi0].astype(jnp.float32)
 
-    flat = tex_pairs.reshape(-1, 6)
-    base = layer_safe * (h * w)
-
-    top_pair = flat[base + yi0 * w + xi0].astype(jnp.float32)   # [R, 6]
-    bot_pair = flat[base + yi1 * w + xi0].astype(jnp.float32)
-
-    top = top_pair[:, 0:3] * (1 - fx) + top_pair[:, 3:6] * fx
-    bot = bot_pair[:, 0:3] * (1 - fx) + bot_pair[:, 3:6] * fx
+    top = quad[:, 0:3] * (1 - fx) + quad[:, 3:6] * fx
+    bot = quad[:, 6:9] * (1 - fx) + quad[:, 9:12] * fx
     out = top * (1 - fy) + bot * fy
     return jnp.where(valid[:, None], out, 1.0)

@@ -94,10 +94,10 @@ class CompiledScene:
     materials: dict          # SoA dict, see material.pack_materials
     lights: dict             # SoA dict, see light.pack_lights
 
-    # --- texture arrays (1024x1024, bf16, texel-PAIR packed for 2-gather
+    # --- texture arrays (1024x1024, bf16, 2x2-QUAD packed for 1-gather
     # bilinear; color pre-decoded sRGB->linear) ---
-    color_tex: jax.Array     # [C, H, W, 6]
-    data_tex: jax.Array      # [D, H, W, 6]
+    color_tex: jax.Array     # [C, H, W, 12]
+    data_tex: jax.Array      # [D, H, W, 12]
 
     # --- static metadata ---
     num_lights: int
