@@ -46,3 +46,48 @@ def test_tiled_matches_single_chip():
     assert np.abs(tiled - single).max() < 1e-5
     assert float(aux["rays"]) > 0
     assert abs(float(aux["rays"]) - float(aux1["rays"])) < 1e-3
+
+
+def test_tiled_matches_single_chip_with_motion():
+    """Camera motion exercises temporal reprojection across band borders
+    (the halo path); results must still match single-chip.
+
+    Kept small: this box exposes ONE cpu core, the 8 virtual device threads
+    serialize, and XLA aborts cross-device collectives whose participants
+    stagger by more than 40 s - frames must stay well under that.
+    """
+    scene = scenes.create_cornell_box_diffuse()
+    mesh = tiles.make_mesh()
+    w = h = 32
+
+    def run(tiled: bool):
+        cam = camera_mod.CameraController()
+        if tiled:
+            state = tiles.shard_state(pipeline.init_state(w, h), mesh)
+            scene_r = tiles.replicate(scene, mesh)
+            render = tiles.make_render_frame_tiled(mesh, w, h)
+        else:
+            state = pipeline.init_state(w, h)
+        frame_count = 0
+        for i in range(4):
+            if i == 2:          # move: resets accumulation (state.rs:151)
+                cam.press("w")
+                cam.update(0.05)
+                cam.release("w")
+                frame_count = 0
+            uniform = renderer.camera_to_device(
+                cam.uniform(1.0, frame_count, scene.num_lights))
+            if tiled:
+                uniform = tiles.replicate(uniform, mesh)
+                ldr, state, aux = render(scene_r, uniform,
+                                         jnp.uint32(frame_count), state)
+            else:
+                ldr, _, state, aux = pipeline.render_frame(
+                    scene, uniform, jnp.uint32(frame_count), state, w, h)
+            frame_count += 1
+        return np.asarray(ldr)
+
+    tiled = run(True)
+    single = run(False)
+    assert np.isnan(tiled).sum() == 0
+    assert np.abs(tiled - single).max() < 1e-5

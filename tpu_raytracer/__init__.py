@@ -16,14 +16,20 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Frame pipelines are large programs compiled over a remote-tunnel TPU;
-# persist compilations across processes.
+# persist compilations across processes. TPU ONLY: cached XLA:CPU AOT
+# executables can carry machine features of the compile host (the remote
+# helper) and SIGILL/abort on this one.
 import os as _os
 
-_cache_dir = _os.environ.get(
-    "TPU_RAYTRACER_CACHE", _os.path.expanduser("~/.cache/tpu_raytracer_jax"))
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+_platforms = str(getattr(_jax.config, "jax_platforms", None) or
+                 _os.environ.get("JAX_PLATFORMS", ""))
+if "cpu" not in _platforms:
+    _cache_dir = _os.environ.get(
+        "TPU_RAYTRACER_CACHE",
+        _os.path.expanduser("~/.cache/tpu_raytracer_jax"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -33,7 +33,10 @@ from ..render import pipeline as pipeline_mod
 from . import views as views_mod
 
 AXIS = "tiles"
-DEFAULT_HALO = 16  # >= spatial ReSTIR radius 10 and post stencil 2
+# Halo must cover the spatial-ReSTIR disk radius (10 px) and post stencils
+# (2 px); bands shorter than the halo clamp it, which silently drops
+# long-range taps - use images with height >= 16 * n_devices in production.
+DEFAULT_HALO = 16
 
 
 def make_mesh(devices=None) -> Mesh:
