@@ -34,6 +34,44 @@ from .resources import CompiledScene
 TEXTURE_SIZE = 1024  # reference: scene/mod.rs TEXTURE_WIDTH/HEIGHT = 1024
 
 
+def _subdivide_world(bundle, scalars, max_diag):
+    """Iterative longest-edge bisection of oversized world triangles.
+
+    bundle: [T, 3, 20] per-vertex data
+        (world pos 3 | world n 3 | world t 3 | uv 2 |
+         local pos 3 | local n 3 | local t 3)
+    scalars: [T, 4] per-tri (sign, mat_id, inst, prim).
+    All per-vertex quantities interpolate linearly, so midpoint insertion
+    leaves the rendered distribution unchanged (normalize-after-interp is
+    scale-invariant); only per-ray float rounding differs.
+    """
+    while True:
+        pos = bundle[:, :, 0:3]
+        diag = np.linalg.norm(pos.max(axis=1) - pos.min(axis=1), axis=1)
+        big = diag > max_diag
+        if not big.any():
+            return bundle, scalars
+        keep_b, keep_s = bundle[~big], scalars[~big]
+        b = bundle[big]
+        s = scalars[big]
+        p = b[:, :, 0:3]
+        e_len = np.stack([
+            np.linalg.norm(p[:, 1] - p[:, 0], axis=1),
+            np.linalg.norm(p[:, 2] - p[:, 1], axis=1),
+            np.linalg.norm(p[:, 0] - p[:, 2], axis=1),
+        ], axis=1)
+        i = np.argmax(e_len, axis=1)          # split edge (i, i+1), keep i+2
+        j = (i + 1) % 3
+        k = (i + 2) % 3
+        r = np.arange(len(b))
+        vi, vj, vk = b[r, i], b[r, j], b[r, k]
+        m = (vi + vj) * 0.5
+        tri_a = np.stack([vi, m, vk], axis=1)   # (Pi, M, Pk): CCW preserved
+        tri_b = np.stack([m, vj, vk], axis=1)   # (M, Pj, Pk)
+        bundle = np.concatenate([keep_b, tri_a, tri_b], axis=0)
+        scalars = np.concatenate([keep_s, s, s], axis=0)
+
+
 def _oct_decode_np(e: np.ndarray) -> np.ndarray:
     """Octahedral decode (host, matches gbuffer.wgsl:38-44 / math3d)."""
     ex, ey = e[:, 0], e[:, 1]
@@ -169,7 +207,18 @@ class SceneBuilder:
 
     # ---------------- compile ----------------
 
-    def build(self, dtype=np.float32) -> CompiledScene:
+    def build(self, dtype=np.float32,
+              subdivide_max_diag: float | None = None) -> CompiledScene:
+        """Compile the scene.
+
+        subdivide_max_diag: optional fraction of the scene AABB diagonal;
+        world triangles larger than this are longest-edge split at build
+        time. Pure culling aid (tighter intersector chunk AABBs for scenes
+        with giant triangles) - shading attributes interpolate linearly so
+        the rendered distribution is unchanged, but per-ray float rounding
+        differs, so golden comparisons are not bit-stable across this
+        setting. Default off.
+        """
         import jax.numpy as jnp
 
         from ..ops import textures as textures_mod
@@ -239,36 +288,11 @@ class SceneBuilder:
         tri_prim = (np.concatenate(tri_prim) if tri_prim else np.zeros((0,), np.int32))
         tri_local = (np.concatenate(tri_local) if tri_local else np.zeros((0,), np.int32))
 
-        # 3. BVH over the soup; then REORDER all per-triangle data into the
-        # BVH's DFS leaf order. Consecutive triangles become spatially
-        # coherent, which drives the brute-force intersector's chunk-AABB
-        # culling (ops/pallas_trace.py) and keeps BVH leaf ranges contiguous.
-        wv1 = world_v0 + world_e1
-        wv2 = world_v0 + world_e2
-        aabb_min = np.minimum(np.minimum(world_v0, wv1), wv2)
-        aabb_max = np.maximum(np.maximum(world_v0, wv1), wv2)
-        tree = bvh_ops.build_bvh(aabb_min, aabb_max)
-
-        t_total = len(tri_inst)
-        if t_total > 0:
-            order = tree.tri_id[tree.skip < 0].astype(np.int64)  # DFS order
-            inv = np.empty_like(order)
-            inv[order] = np.arange(t_total, dtype=np.int64)
-            world_v0, world_e1, world_e2 = (
-                world_v0[order], world_e1[order], world_e2[order])
-            tri_inst, tri_prim, tri_local = (
-                tri_inst[order], tri_prim[order], tri_local[order])
-            tree.tri_id[tree.skip < 0] = inv[order].astype(np.int32)  # = 0..T-1
-
-        bvh_ops.fill_triangles(tree, world_v0, world_e1, world_e2)
-        from ..ops.pallas_trace import pack_triangles
-        tri_planes, chunk_aabb, _ = pack_triangles(world_v0, world_e1, world_e2)
-
-        # 4. consolidated per-triangle shading table: one wide gather per
-        # hit replaces the index->attribute->instance gather chain.
-        # Per-vertex world normals/tangents stored UNNORMALIZED so
-        # normalize(interp(..)) is bit-equivalent to the reference's
-        # transform-after-interpolate order (restir.wgsl:422-431).
+        # 2b. consolidated per-triangle shading tables (ORIGINAL order):
+        # one wide gather per hit replaces the index->attribute->instance
+        # gather chain. Per-vertex world normals/tangents stored
+        # UNNORMALIZED so normalize(interp(..)) is bit-equivalent to the
+        # reference's transform-after-interpolate order (restir.wgsl:422-431).
         t_total = len(tri_inst)
         tri_table = np.zeros((max(t_total, 1), 26), np.float32)
         tri_table_local = np.zeros_like(tri_table)
@@ -295,9 +319,83 @@ class SceneBuilder:
             blk[:, 25] = mat_id
             blk_l[:, 24:26] = blk[:, 24:26]
             row += nt
+
+        # 2c. optional oversized-triangle subdivision (culling aid)
+        if subdivide_max_diag is not None and t_total > 0:
+            scene_diag = float(np.linalg.norm(
+                np.maximum.reduce([world_v0, world_v0 + world_e1,
+                                   world_v0 + world_e2]).max(axis=0)
+                - np.minimum.reduce([world_v0, world_v0 + world_e1,
+                                     world_v0 + world_e2]).min(axis=0)))
+            lv0 = local_v0[tri_local]
+            lv1 = lv0 + local_e1[tri_local]
+            lv2 = lv0 + local_e2[tri_local]
+            bundle = np.zeros((t_total, 3, 20), np.float32)
+            for k, (wv, lv) in enumerate(zip(
+                    (world_v0, world_v0 + world_e1, world_v0 + world_e2),
+                    (lv0, lv1, lv2))):
+                bundle[:, k, 0:3] = wv
+                bundle[:, k, 3:6] = tri_table[:, k * 3:k * 3 + 3]
+                bundle[:, k, 6:9] = tri_table[:, 15 + k * 3:18 + k * 3]
+                bundle[:, k, 9:11] = tri_table[:, 9 + k * 2:11 + k * 2]
+                bundle[:, k, 11:14] = lv
+                bundle[:, k, 14:17] = tri_table_local[:, k * 3:k * 3 + 3]
+                bundle[:, k, 17:20] = tri_table_local[:, 15 + k * 3:18 + k * 3]
+            scalars = np.stack([tri_table[:, 24],
+                                tri_table[:, 25],
+                                tri_inst.astype(np.float32),
+                                tri_prim.astype(np.float32)], axis=1)
+            bundle, scalars = _subdivide_world(
+                bundle, scalars, subdivide_max_diag * scene_diag)
+            t_total = len(bundle)
+            world_v0 = bundle[:, 0, 0:3].copy()
+            world_e1 = bundle[:, 1, 0:3] - world_v0
+            world_e2 = bundle[:, 2, 0:3] - world_v0
+            local_v0 = bundle[:, 0, 11:14].copy()
+            local_e1 = bundle[:, 1, 11:14] - local_v0
+            local_e2 = bundle[:, 2, 11:14] - local_v0
+            tri_local = np.arange(t_total, dtype=np.int32)
+            tri_table = np.zeros((t_total, 26), np.float32)
+            tri_table_local = np.zeros_like(tri_table)
+            for k in range(3):
+                tri_table[:, k * 3:k * 3 + 3] = bundle[:, k, 3:6]
+                tri_table[:, 15 + k * 3:18 + k * 3] = bundle[:, k, 6:9]
+                tri_table[:, 9 + k * 2:11 + k * 2] = bundle[:, k, 9:11]
+                tri_table_local[:, k * 3:k * 3 + 3] = bundle[:, k, 14:17]
+                tri_table_local[:, 15 + k * 3:18 + k * 3] = bundle[:, k, 17:20]
+                tri_table_local[:, 9 + k * 2:11 + k * 2] = bundle[:, k, 9:11]
+            tri_table[:, 24] = scalars[:, 0]
+            tri_table[:, 25] = scalars[:, 1]
+            tri_table_local[:, 24:26] = tri_table[:, 24:26]
+            tri_inst = scalars[:, 2].astype(np.int32)
+            tri_prim = scalars[:, 3].astype(np.int32)
+
+        # 3. BVH over the soup; then REORDER all per-triangle data into the
+        # BVH's DFS leaf order. Consecutive triangles become spatially
+        # coherent, which drives the brute-force intersector's chunk-AABB
+        # culling (ops/pallas_trace.py) and keeps BVH leaf ranges contiguous.
+        wv1 = world_v0 + world_e1
+        wv2 = world_v0 + world_e2
+        aabb_min = np.minimum(np.minimum(world_v0, wv1), wv2)
+        aabb_max = np.maximum(np.maximum(world_v0, wv1), wv2)
+        tree = bvh_ops.build_bvh(aabb_min, aabb_max)
+
+        t_total = len(tri_inst)
         if t_total > 0:
-            tri_table = tri_table[order]   # match BVH-DFS triangle order
+            order = tree.tri_id[tree.skip < 0].astype(np.int64)  # DFS order
+            inv = np.empty_like(order)
+            inv[order] = np.arange(t_total, dtype=np.int64)
+            world_v0, world_e1, world_e2 = (
+                world_v0[order], world_e1[order], world_e2[order])
+            tri_inst, tri_prim, tri_local = (
+                tri_inst[order], tri_prim[order], tri_local[order])
+            tri_table = tri_table[order]
             tri_table_local = tri_table_local[order]
+            tree.tri_id[tree.skip < 0] = inv[order].astype(np.int32)  # = 0..T-1
+
+        bvh_ops.fill_triangles(tree, world_v0, world_e1, world_e2)
+        from ..ops.pallas_trace import pack_triangles
+        tri_planes, chunk_aabb, _ = pack_triangles(world_v0, world_e1, world_e2)
 
         # stream row of each triangle's BVH record (for on-device refit)
         bvh_tri_rows = np.zeros((max(t_total, 1),), np.int32)
