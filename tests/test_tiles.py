@@ -16,10 +16,12 @@ from tpu_raytracer.render import pipeline, renderer
 
 
 def test_tiled_matches_single_chip():
+    # small on purpose: one-core host serializes the 8 device threads
+    # (see CLAUDE.md); validity is size-independent
     assert len(jax.devices()) == 8
     scene = scenes.create_cornell_box()
     mesh = tiles.make_mesh()
-    w = h = 64
+    w = h = 32
 
     cam = camera_mod.CameraController()
     state = tiles.shard_state(pipeline.init_state(w, h), mesh)

@@ -23,10 +23,22 @@ import os as _os
 
 _platforms = str(getattr(_jax.config, "jax_platforms", None) or
                  _os.environ.get("JAX_PLATFORMS", ""))
-if "cpu" not in _platforms:
-    _cache_dir = _os.environ.get(
-        "TPU_RAYTRACER_CACHE",
-        _os.path.expanduser("~/.cache/tpu_raytracer_jax"))
+_cache_dir = _os.environ.get(
+    "TPU_RAYTRACER_CACHE",
+    _os.path.expanduser("~/.cache/tpu_raytracer_jax"))
+if "cpu" in _platforms:
+    # key CPU caches by this host's feature set so an entry compiled for a
+    # different machine can never load (stale ones SIGILL)
+    import hashlib as _hashlib
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags = [l for l in _f if l.startswith("flags")][:1]
+        _key = _hashlib.sha1("".join(_flags).encode()).hexdigest()[:12]
+        _cache_dir = f"{_cache_dir}_cpu_{_key}"
+    except OSError:
+        _cache_dir = None
+if _cache_dir:
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
