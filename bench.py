@@ -46,10 +46,13 @@ def _measure_restir(scene, width, height, warmup, measured, move=False,
         if refit_transforms is not None:
             scene = refit_ops.update_instances(
                 scene, refit_transforms(i, scene))
+        # replay-dedup eligibility: world unchanged since the last frame
+        static_ok = (i > 0) and not move and refit_transforms is None
         uniform = renderer.camera_to_device(
             cam.uniform(width / height, frame_count, scene.num_lights))
         ldr, hdr, state, aux = pipeline.render_frame(
-            scene, uniform, jnp.uint32(frame_count), state, width, height)
+            scene, uniform, jnp.uint32(frame_count), state, width, height,
+            static_ok=static_ok)
         frame_count += 1
         if i == warmup - 1:
             jax.block_until_ready(ldr)

@@ -52,7 +52,8 @@ def test_reservoir_update_invariants():
     w = jnp.asarray([1.0, 0.0, 2.0, 5.0])
     res2 = restir_ops._update_reservoir(
         res, mask, jnp.uint32(7), w, jnp.asarray([0.4, 0.4, 0.9, 0.1]),
-        1, jnp.asarray([3.0] * 4), jnp.ones((4, 3)))
+        1, jnp.asarray([3.0] * 4), jnp.ones((4, 3)),
+        jnp.ones((4, 3)), jnp.bool_(True))
     assert np.allclose(np.asarray(res2["w_sum"]), [1.0, 0.0, 2.0, 0.0])
     assert list(np.asarray(res2["M"])) == [1, 1, 1, 0]
     # lane0: rnd*w_sum = 0.4 < 1 -> take; lane1: w=0 -> no; lane3 masked

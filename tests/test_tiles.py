@@ -31,7 +31,8 @@ def test_tiled_matches_single_chip():
         uniform = tiles.replicate(
             renderer.camera_to_device(cam.uniform(1.0, frame, scene.num_lights)),
             mesh)
-        ldr, state, aux = render(scene_r, uniform, jnp.uint32(frame), state)
+        ldr, _hdr, state, aux = render(scene_r, uniform, jnp.uint32(frame),
+                                       state)
     tiled = np.asarray(ldr)
 
     cam1 = camera_mod.CameraController()
@@ -81,8 +82,8 @@ def test_tiled_matches_single_chip_with_motion():
                 cam.uniform(1.0, frame_count, scene.num_lights))
             if tiled:
                 uniform = tiles.replicate(uniform, mesh)
-                ldr, state, aux = render(scene_r, uniform,
-                                         jnp.uint32(frame_count), state)
+                ldr, _hdr, state, aux = render(scene_r, uniform,
+                                               jnp.uint32(frame_count), state)
             else:
                 ldr, _, state, aux = pipeline.render_frame(
                     scene, uniform, jnp.uint32(frame_count), state, w, h)

@@ -120,6 +120,28 @@ def run(cfg: RenderConfig) -> dict:
     state = pipeline.init_state(w, h)
     frame_count = 0
 
+    # --tiles N: row-band device-mesh pipeline (parallel/tiles.py); the
+    # tiled render has the same call shape as pipeline.render_frame.
+    if cfg.tiles > 1:
+        from ..parallel import tiles
+
+        devs = jax.devices()
+        if len(devs) < cfg.tiles:
+            print(f"--tiles {cfg.tiles} requested but only {len(devs)} "
+                  f"device(s); falling back to single-chip")
+            render_fn = None
+        else:
+            mesh = tiles.make_mesh(devs[:cfg.tiles])
+            render_fn = tiles.make_render_frame_tiled(mesh, w, h, cfg.halo)
+            scene = tiles.replicate(scene, mesh)
+            state = tiles.shard_state(state, mesh)
+    else:
+        render_fn = None
+    if render_fn is None:
+        def render_fn(scene, camera, fc, state, static_ok=False):
+            return pipeline.render_frame(scene, camera, fc, state, w, h,
+                                         static_ok=static_ok)
+
     if cfg.checkpoint and os.path.exists(cfg.checkpoint):
         st, frame_count, cam_state = checkpoint.load(cfg.checkpoint)
         state = {k: jnp.asarray(v) for k, v in st.items()}
@@ -129,6 +151,11 @@ def run(cfg: RenderConfig) -> dict:
         print(f"resumed from {cfg.checkpoint} at frame {frame_count}")
 
     saver = ScreenshotSaver(cfg.out_dir)
+    presenter = None
+    if cfg.preview and sys.stdout.isatty():
+        from .preview import TerminalPresenter
+
+        presenter = TerminalPresenter(cols=cfg.preview_cols)
     paused = False
     debug_mode = cfg.debug_mode
     screenshot_requested = False
@@ -138,6 +165,8 @@ def run(cfg: RenderConfig) -> dict:
     fps = 0.0
     last_t = time.time()
     telemetry = {}
+    status_line = ""
+    last_present = 0.0
 
     # movement keys are momentary in a real app; in cbreak mode we apply
     # each keypress as a fixed-duration press
@@ -180,8 +209,10 @@ def run(cfg: RenderConfig) -> dict:
 
             uniform = renderer.camera_to_device(
                 cam.uniform(w / h, frame_count, scene.num_lights))
-            ldr, hdr, state, aux = pipeline.render_frame(
-                scene, uniform, jnp.uint32(frame_count), state, w, h)
+            # dedup eligibility: same camera as last frame, scene untouched
+            ldr, hdr, state, aux = render_fn(
+                scene, uniform, jnp.uint32(frame_count), state,
+                static_ok=frame_count > 0)
 
             if debug_mode != 0:
                 gb = gbuffer_ops.unpack_gb(state["gb"])
@@ -190,6 +221,13 @@ def run(cfg: RenderConfig) -> dict:
             frame_count += 1
             total_frames += 1
             fps_window_n += 1
+
+            # live display (blit/present analogue), throttled to spare the
+            # host<->device link at high frame rates
+            if presenter is not None and now - last_present >= 0.25:
+                img = np.asarray(jnp.clip(ldr, 0.0, 1.0)).reshape(h, w, 3)
+                presenter.present(img, status_line)
+                last_present = now
 
             hit_target = (cfg.target_spp > 0 and frame_count >= cfg.target_spp
                           and not auto_shot_done)
@@ -214,7 +252,9 @@ def run(cfg: RenderConfig) -> dict:
                 line = (f"FPS {fps:6.2f} | {w}x{h} | samples {frame_count}"
                         f" | {telemetry['mrays_per_s']:.1f} Mrays/s"
                         f" | mode {debug_mode}{' | PAUSED' if paused else ''}")
-                print(line, flush=True)
+                status_line = line
+                if presenter is None:
+                    print(line, flush=True)
 
     if cfg.checkpoint:
         checkpoint.save(cfg.checkpoint, jax.device_get(state), frame_count,

@@ -160,15 +160,21 @@ def _mt_kernel(count_ref, list_ref, rays_ref, tri_ref, t_ref, idx_ref,
     uvf_ref[2, :] = f_best
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
+@functools.partial(jax.jit, static_argnames=("any_hit", "reorder"))
 def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
-                       any_hit: bool = False, active=None):
+                       any_hit: bool = False, active=None,
+                       reorder: str = "none"):
     """Closest-hit (or any-hit) over ALL triangles.
 
     Args:
       tri_planes: [4, 3, Tp] from `pack_triangles` (device array).
       ray_o, ray_d: [R, 3]; t_min/t_max scalar or [R].
       active: [R] bool; inactive lanes get t_max=0 (test nothing real).
+      reorder: ray-stream permutation before blocking (ops/compaction.py):
+        "none" keeps caller order; "live" packs active lanes first so
+        trailing blocks die wholesale; "bins" additionally groups live
+        lanes by direction octant so each block's chunk worklist stays
+        short. Results are bit-identical across modes.
 
     Returns dict(t, tri, u, v, front) like traversal.trace.
     """
@@ -182,11 +188,24 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
 
-    rays = jnp.zeros((8, rp), jnp.float32)
-    rays = rays.at[0:3, :r].set(ray_o.T)
-    rays = rays.at[3:6, :r].set(ray_d.T)
-    rays = rays.at[6, :r].set(t_min)
-    rays = rays.at[7, :r].set(t_max)
+    rows = jnp.zeros((rp, 8), jnp.float32)
+    rows = rows.at[:r, 0:3].set(ray_o)
+    rows = rows.at[:r, 3:6].set(ray_d)
+    rows = rows.at[:r, 6].set(t_min)
+    rows = rows.at[:r, 7].set(t_max)
+
+    dest = None
+    if reorder != "none":
+        from . import compaction
+
+        live = rows[:, 7] > 0.0
+        if reorder == "bins":
+            key, nb_bins = compaction.direction_bins(rows[:, 3:6], live)
+            src, dest = compaction.partition_bins(key, nb_bins)
+        else:
+            src, dest, _ = compaction.partition_live(live)
+        rows = rows[src]
+    rays = rows.T
 
     # --- block-level chunk culling (cheap XLA pre-pass) ---
     # per-ray slab tests against every chunk AABB, OR-reduced per block,
@@ -212,11 +231,11 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
                              ).astype(jnp.int32).T
 
     return _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb,
-                       num_chunks, tp, any_hit)
+                       num_chunks, tp, any_hit, dest=dest)
 
 
 def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
-                tp, any_hit):
+                tp, any_hit, dest=None):
     # SMEM pads the minor dim to 128; when worklists would blow the ~1MB
     # SMEM budget (huge frame x huge scene) the kernel sweeps all chunks
     # and ignores the (dummy) list.
@@ -252,6 +271,16 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
             jax.ShapeDtypeStruct((3, rp), jnp.float32),
         ],
     )(counts, chunk_list, rays, tri_planes)
+
+    if dest is not None:
+        # undo the ray permutation with ONE wide-row gather: pack the five
+        # outputs as [rp, 5] rows (tri id rides bitcast through f32).
+        out_rows = jnp.concatenate([
+            t.T, jax.lax.bitcast_convert_type(idx, jnp.float32).T, uvf.T,
+        ], axis=-1)[dest]
+        t = out_rows[:, 0:1].T
+        idx = jax.lax.bitcast_convert_type(out_rows[:, 1:2], jnp.int32)[:, 0][None]
+        uvf = out_rows[:, 2:5].T
 
     missed = idx[0, :r] < 0
     return {

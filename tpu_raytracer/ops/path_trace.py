@@ -40,7 +40,8 @@ T_MIN = 1e-3
 T_MAX = 100.0          # restir.wgsl:605
 
 
-def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights):
+def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights,
+         reorder="none"):
     """One NEE sample with MIS (restir.wgsl:554-575 / 702-724).
 
     Consumes up to 3 draws per active lane (light pick + 2 area sample).
@@ -79,7 +80,7 @@ def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights):
     shadow_active = smp_mask & geo_ok
     blocked = scene_occluded(
         scene, offset_pos, l_dir, T_MIN, jnp.maximum(dist * 0.999, 0.0),
-        active=shadow_active,
+        active=shadow_active, reorder=reorder,
     )
     visible = shadow_active & ~blocked
 
@@ -93,7 +94,7 @@ def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights):
     return state, jnp.where(visible[:, None], contrib, 0.0), n_rays
 
 
-def trace_path(scene, gb, view_pos, seed):
+def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
     """Trace one candidate path per lane from the G-buffer surface.
 
     Args:
@@ -102,6 +103,10 @@ def trace_path(scene, gb, view_pos, seed):
           uv [R,2], albedo [R,3], mat_id [R] i32.
       view_pos: [3] camera world position.
       seed: [R] uint32 path seeds (ReSTIR reservoir `y`).
+      active: optional [R] bool - lanes to trace (ANDed with gb validity);
+        masked lanes return zeros (replay-dedup lanes skip the trace).
+      reorder: ray-stream permutation mode for every traversal this path
+        spawns (see ops/compaction.py).
 
     Returns dict: radiance [R,3], valid_v1 [R] bool, v1_pos [R,3],
     v1_normal [R,3] (the reconnection vertex for shift mapping,
@@ -111,7 +116,7 @@ def trace_path(scene, gb, view_pos, seed):
     num_lights = scene.num_lights
     state = jnp.asarray(seed, jnp.uint32)
 
-    active = gb["valid"]
+    active = gb["valid"] if active is None else gb["valid"] & active
     pos = gb["pos"]
     normal = math3d.oct_decode(gb["oct_normal"])
     ffnormal = normal
@@ -159,7 +164,8 @@ def trace_path(scene, gb, view_pos, seed):
     is_specular0 = is_glass_primary | (mat["roughness"] < 0.05)
     nee_mask = active & ~is_specular0
     state, direct, nee_rays = _nee(scene, state, nee_mask, pos, ffnormal, wo,
-                                   mat, base_color, num_lights)
+                                   mat, base_color, num_lights,
+                                   reorder=reorder)
     ray_count = nee_rays
     accumulated = accumulated + jnp.where(nee_mask[:, None], direct, 0.0) * throughput
     previous_was_diffuse = nee_mask
@@ -217,7 +223,8 @@ def trace_path(scene, gb, view_pos, seed):
         ) * c["ffnormal"]
         origin = c["pos"] + offset_dir * 1e-3
         ray_count = c["ray_count"] + jnp.sum(active.astype(jnp.float32))
-        res = scene_trace(scene, origin, next_dir, T_MIN, T_MAX, active=active)
+        res = scene_trace(scene, origin, next_dir, T_MIN, T_MAX, active=active,
+                          reorder=reorder)
         active = active & (res["tri"] >= 0)
 
         h = reconstruct_hit(scene, res["tri"], res["u"], res["v"], res["front"],
@@ -284,7 +291,8 @@ def trace_path(scene, gb, view_pos, seed):
         is_specular_b = is_glass_primary | (mat["roughness"] < 0.05)
         nee_mask = active & ~is_specular_b
         state, direct, nee_rays = _nee(scene, state, nee_mask, h["pos"],
-                                       ffnormal, wo, mat, base_color, num_lights)
+                                       ffnormal, wo, mat, base_color,
+                                       num_lights, reorder=reorder)
         ray_count = ray_count + nee_rays
         accumulated = accumulated + jnp.where(nee_mask[:, None], direct, 0.0) * throughput
         previous_was_diffuse = jnp.where(active, nee_mask, c["previous_was_diffuse"])

@@ -33,12 +33,19 @@ MAX_M_SPATIAL = 20    # restir_spatial.wgsl:893,989
 MAX_W = 20.0          # restir_spatial.wgsl:1005
 
 
-def make_ctx(width: int, height: int, y0=0, band_h=None) -> dict:
+def make_ctx(width: int, height: int, y0=0, band_h=None,
+             reorder: str = "none") -> dict:
+    """`reorder` is the ray-stream permutation mode (ops/compaction.py)
+    applied to every secondary trace - static per compiled pipeline.
+    Default "none": measured on v5e, the permutation's two wide-row
+    gathers + scatter (~13 ms @ 262k rays) cost more than masked dead
+    lanes already save via per-block worklist shrinkage (PERF.md)."""
     return {
         "y0": jnp.asarray(y0, jnp.int32),
         "width": width,
         "height": height,
         "band_h": height if band_h is None else band_h,
+        "reorder": reorder,
     }
 
 
@@ -60,6 +67,13 @@ def empty_reservoirs(n: int) -> dict:
         "W": jnp.zeros((n,), jnp.float32),
         "p_hat": jnp.zeros((n,), jnp.float32),
         "s_path": jnp.zeros((n, 3), jnp.float32),
+        # Replay-dedup cache (TPU addition; radiance semantics unchanged):
+        # `rad` is the full RGB radiance of seed `y` as traced from THIS
+        # pixel's surface; `rad_ok` marks it valid for the current frame's
+        # final replay (restir_spatial.wgsl:996) - tracing is skipped for
+        # those lanes since the replay is deterministic in (gb, seed).
+        "rad": jnp.zeros((n, 3), jnp.float32),
+        "rad_ok": jnp.zeros((n,), jnp.bool_),
     }
 
 
@@ -78,6 +92,8 @@ def pack_reservoirs(res: dict):
         res["W"][:, None],
         res["p_hat"][:, None],
         res["s_path"],
+        res["rad"],
+        res["rad_ok"].astype(jnp.float32)[:, None],
     ], axis=-1)
 
 
@@ -91,11 +107,18 @@ def unpack_reservoirs(rows):
         "W": rows[..., 3],
         "p_hat": rows[..., 4],
         "s_path": rows[..., 5:8],
+        "rad": rows[..., 8:11],
+        "rad_ok": rows[..., 11] > 0.5,
     }
 
 
-def _update_reservoir(res, mask, y_new, w, rnd, cnt, p_hat_new, s_path_new):
-    """Vectorized update_reservoir (restir.wgsl:746-756) on masked lanes."""
+def _update_reservoir(res, mask, y_new, w, rnd, cnt, p_hat_new, s_path_new,
+                      rad_new, rad_ok_new):
+    """Vectorized update_reservoir (restir.wgsl:746-756) on masked lanes.
+
+    rad_new/rad_ok_new: replay-dedup cache riding with the candidate sample
+    (see empty_reservoirs) - adopted only when the sample wins (`take`).
+    """
     w_sum = res["w_sum"] + jnp.where(mask, w, 0.0)
     m = res["M"] + jnp.where(mask, cnt, 0)
     take = mask & (rnd * w_sum < w)
@@ -106,6 +129,8 @@ def _update_reservoir(res, mask, y_new, w, rnd, cnt, p_hat_new, s_path_new):
         "W": res["W"],
         "p_hat": jnp.where(take, p_hat_new, res["p_hat"]),
         "s_path": jnp.where(take[:, None], s_path_new, res["s_path"]),
+        "rad": jnp.where(take[:, None], rad_new, res["rad"]),
+        "rad_ok": jnp.where(take, rad_ok_new, res["rad_ok"]),
     }
 
 
@@ -144,13 +169,19 @@ def _is_valid_neighbor_spatial(scene, curr_pos, curr_normal, curr_mat,
 
 
 def restir_temporal(scene, gb, prev_gb_view, prev_res_view, camera,
-                    frame_count, ctx):
+                    frame_count, ctx, static_ok=False):
     """Candidate generation + temporal reuse.
 
     Returns (reservoirs, ray_count).
 
     prev_gb_view / prev_res_view: BandViews over last frame's PACKED
     G-buffer / spatial reservoirs (single wide gather per tap).
+
+    static_ok: traced bool - caller asserts NOTHING changed since last
+    frame (camera, scene geometry, materials, lights). Enables carrying
+    the previous frame's replayed radiance as a dedup cache for temporal
+    winners (a belt-and-braces identity-reprojection check is applied on
+    top). Safe default False; a wrong True renders stale radiance.
     """
     width, height = ctx["width"], ctx["height"]
     gx, gy, gidx = _global_coords(ctx)
@@ -164,10 +195,15 @@ def restir_temporal(scene, gb, prev_gb_view, prev_res_view, camera,
     res = empty_reservoirs(n)
 
     # Phase 1: candidate path (restir.wgsl:826-841)
-    pr = path_trace.trace_path(scene, gb, camera["view_pos"][:3], seed_candidate)
+    pr = path_trace.trace_path(scene, gb, camera["view_pos"][:3],
+                               seed_candidate,
+                               reorder=ctx.get("reorder", "none"))
     p_hat = math3d.luminance(pr["radiance"])
+    # candidate cache is valid unconditionally: the final replay traces
+    # (gb, seed_candidate) - exactly what was just traced.
     res = _update_reservoir(res, valid, seed_candidate, p_hat,
-                            jnp.float32(0.5), 1, p_hat, pr["v1_pos"])
+                            jnp.float32(0.5), 1, p_hat, pr["v1_pos"],
+                            pr["radiance"], jnp.bool_(True))
     res["W"] = jnp.where(valid & (p_hat > 0.0), 1.0, 0.0)
 
     # Phase 2: temporal reuse (restir.wgsl:846-899)
@@ -219,9 +255,19 @@ def restir_temporal(scene, gb, prev_gb_view, prev_res_view, camera,
     clamped_m = jnp.minimum(prev_m, MAX_M_TEMPORAL)
     w_prev = p_hat_new * prev_w * clamped_m.astype(jnp.float32)
 
+    # Temporal dedup cache: the previous frame's replay of prev_y_seed at
+    # the reprojected pixel equals this frame's replay here ONLY if the
+    # world is static and the reprojection is the identity - guard both
+    # (prev pixel == this pixel, and the albedo ratio is exactly neutral).
+    rad_carry_ok = (jnp.asarray(static_ok, jnp.bool_)
+                    & prev_res["rad_ok"]
+                    & (prev_x == gx) & (prev_y == gy)
+                    & (jnp.abs(albedo_ratio - 1.0) < 1e-6))
+
     local_seed, rnd = rng.rand_lcg_if(local_seed, reuse)
     res = _update_reservoir(res, reuse, prev_y_seed, w_prev, rnd, clamped_m,
-                            p_hat_new, prev_spath)
+                            p_hat_new, prev_spath, prev_res["rad"],
+                            rad_carry_ok)
 
     # Phase 3: finalize W (restir.wgsl:904-916)
     p_final = res["p_hat"]
@@ -236,6 +282,8 @@ def restir_temporal(scene, gb, prev_gb_view, prev_res_view, camera,
         res[k] = jnp.where(valid, res[k], 0.0)
     res["M"] = jnp.where(valid, res["M"], 0)
     res["s_path"] = jnp.where(valid[:, None], res["s_path"], 0.0)
+    res["rad"] = jnp.where(valid[:, None], res["rad"], 0.0)
+    res["rad_ok"] = valid & res["rad_ok"]
     return res, pr["rays"]
 
 
@@ -341,30 +389,52 @@ def restir_spatial(scene, gb, gb_view, in_reservoirs, in_res_view, camera,
         ray_count = ray_count + jnp.sum(shadow_active.astype(jnp.float32))
         blocked = scene_occluded(
             scene, pos, dir_to_v1 / jnp.maximum(dist_to_v1, 1e-12)[:, None],
-            1e-3, jnp.maximum(dist_to_v1 * 0.999, 0.0), active=shadow_active)
+            1e-3, jnp.maximum(dist_to_v1 * 0.999, 0.0), active=shadow_active,
+            reorder=ctx.get("reorder", "none"))
         ok = shadow_active & ~blocked
 
         p_hat_corr = nb_phat * jac
         m_new = jnp.minimum(nb_m, MAX_M_SPATIAL)
         weight = p_hat_corr * nb_w * m_new.astype(jnp.float32)
         local_seed, rnd = rng.rand_lcg_if(local_seed, ok)
+        # a neighbor's cached radiance was traced from the NEIGHBOR's
+        # surface; the shift-mapped replay from this pixel differs, so
+        # adopting a neighbor seed always invalidates the dedup cache.
         res = _update_reservoir(res, ok, nb_y, weight, rnd, m_new,
-                                p_hat_corr, nb_spath)
+                                p_hat_corr, nb_spath,
+                                jnp.zeros((3,), jnp.float32)[None],
+                                jnp.bool_(False))
 
-    # Finalize: replay winning seed + shade (restir_spatial.wgsl:996-1015)
-    final = path_trace.trace_path(scene, gb, camera_pos, res["y"])
-    p_hat_final = math3d.luminance(final["radiance"])
-    res["s_path"] = final["v1_pos"]
+    # Finalize: replay winning seed + shade (restir_spatial.wgsl:996-1015).
+    # Replay dedup: the replay is deterministic in (gb, seed), so lanes
+    # whose winner carries a valid cache (own candidate, or a temporal
+    # winner under a static frame) skip the trace entirely - the masked
+    # lanes cost ~nothing in the blocked intersector (dead-block skip).
+    cached = res["rad_ok"]
+    final = path_trace.trace_path(scene, gb, camera_pos, res["y"],
+                                  active=~cached,
+                                  reorder=ctx.get("reorder", "none"))
+    radiance = jnp.where(cached[:, None], res["rad"], final["radiance"])
+    p_hat_final = math3d.luminance(radiance)
+    res["s_path"] = jnp.where(cached[:, None], res["s_path"],
+                              final["v1_pos"])
     m_f = jnp.maximum(res["M"].astype(jnp.float32), 1.0)
     has_energy = valid & (p_hat_final > 0.0)
     w_unclamped = (1.0 / jnp.maximum(p_hat_final, 1e-20)) * (res["w_sum"] / m_f)
     res["W"] = jnp.where(has_energy, jnp.clip(w_unclamped, 0.0, MAX_W), 0.0)
     res["p_hat"] = jnp.where(has_energy, p_hat_final, 0.0)
-    hdr = jnp.where(has_energy[:, None], final["radiance"] * res["W"][:, None], 0.0)
+    hdr = jnp.where(has_energy[:, None], radiance * res["W"][:, None], 0.0)
+
+    # next-frame cache: `rad` now holds the true replay radiance of `y` at
+    # this pixel (traced or equal-by-determinism).
+    res["rad"] = jnp.where(valid[:, None], radiance, 0.0)
+    res["rad_ok"] = valid
 
     for k in ("w_sum", "W", "p_hat"):
         res[k] = jnp.where(valid, res[k], 0.0)
     res["M"] = jnp.where(valid, res["M"], 0)
     res["y"] = jnp.where(valid, res["y"], 0)
     res["s_path"] = jnp.where(valid[:, None], res["s_path"], 0.0)
-    return res, hdr, ray_count + final["rays"]
+    diag = {"cached": jnp.sum((cached & valid).astype(jnp.float32)),
+            "lanes": jnp.sum(valid.astype(jnp.float32))}
+    return res, hdr, ray_count + final["rays"], diag

@@ -72,13 +72,19 @@ def _trace_brute_xla(tri_planes, ray_o, ray_d, t_min, t_max, active=None):
             "tri": idx_best, "u": u_best, "v": v_best, "front": f_best}
 
 
-def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None):
-    """Closest-hit (any_hit=False) or occlusion-style first-hit query."""
+def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
+                reorder="none"):
+    """Closest-hit (any_hit=False) or occlusion-style first-hit query.
+
+    `reorder` ("none" | "live" | "bins") permutes the ray stream before
+    blocking (ops/compaction.py) - a pure performance knob; results are
+    bit-identical across modes.
+    """
     if scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS:
         if jax.default_backend() == "tpu":
             return pallas_trace.trace_brute_pallas(
                 scene.tri_planes, scene.chunk_aabb, ray_o, ray_d, t_min,
-                t_max, any_hit=any_hit, active=active)
+                t_max, any_hit=any_hit, active=active, reorder=reorder)
         return _trace_brute_xla(scene.tri_planes, ray_o, ray_d, t_min, t_max,
                                 active=active)
     return traversal.trace(
@@ -86,7 +92,8 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None):
         ray_o, ray_d, t_min, t_max, any_hit=any_hit, active=active)
 
 
-def scene_occluded(scene, ray_o, ray_d, t_min, t_max, active=None):
+def scene_occluded(scene, ray_o, ray_d, t_min, t_max, active=None,
+                   reorder="none"):
     res = scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=True,
-                      active=active)
+                      active=active, reorder=reorder)
     return res["tri"] >= 0

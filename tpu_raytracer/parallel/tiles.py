@@ -62,17 +62,19 @@ def make_render_frame_tiled(mesh: Mesh, width: int, height: int,
                             halo: int = DEFAULT_HALO):
     """Build the jitted multi-chip frame function for a fixed resolution.
 
-    Returns f(scene, camera, frame_count, state) ->
-    (ldr_full, new_state, aux): `state` stays band-sharded across frames;
-    `ldr_full` is replicated (all_gather over ICI) for display;
-    aux["rays"] is the mesh-wide traversal-query count (psum).
+    Returns f(scene, camera, frame_count, state, static_ok=False) ->
+    (ldr_full, hdr_full, new_state, aux) - the same shape as
+    pipeline.render_frame so the app can swap pipelines freely: `state`
+    stays band-sharded across frames; ldr/hdr are replicated (all_gather
+    over ICI) for display/screenshots; aux["rays"] is the mesh-wide
+    traversal-query count (psum).
     """
     n_dev = mesh.devices.size
     assert height % n_dev == 0, "height must divide evenly into row bands"
     band_h = height // n_dev
     halo = min(halo, band_h)
 
-    def per_band(scene, camera, frame_count, state):
+    def per_band(scene, camera, frame_count, state, static_ok):
         d = jax.lax.axis_index(AXIS)
         y0 = d.astype(jnp.int32) * band_h
         ctx = restir_ops.make_ctx(width, height, y0=y0, band_h=band_h)
@@ -81,11 +83,13 @@ def make_render_frame_tiled(mesh: Mesh, width: int, height: int,
             return views_mod.halo_exchange(flat, width, band_h, halo, AXIS, y0)
 
         ldr, hdr, new_state, aux = pipeline_mod.render_band(
-            scene, camera, frame_count, state, ctx, make_view)
-        # display gather over ICI (only the LDR leaves the owning chip)
+            scene, camera, frame_count, state, ctx, make_view,
+            static_ok=static_ok)
+        # display gather over ICI (only LDR + HDR leave the owning chip)
         ldr_full = jax.lax.all_gather(ldr, AXIS, axis=0).reshape(-1, 3)
+        hdr_full = jax.lax.all_gather(hdr, AXIS, axis=0).reshape(-1, 3)
         aux = {"rays": jax.lax.psum(aux["rays"], AXIS)}
-        return ldr_full, new_state, aux
+        return ldr_full, hdr_full, new_state, aux
 
     shard_p = P(AXIS)
     state_specs = jax.tree_util.tree_map(lambda _: shard_p,
@@ -93,8 +97,14 @@ def make_render_frame_tiled(mesh: Mesh, width: int, height: int,
 
     fn = jax.shard_map(
         per_band, mesh=mesh,
-        in_specs=(P(), P(), P(), state_specs),
-        out_specs=(P(), state_specs, P()),
+        in_specs=(P(), P(), P(), state_specs, P()),
+        out_specs=(P(), P(), state_specs, P()),
         check_vma=False,
     )
-    return jax.jit(fn, donate_argnums=(3,))
+    jitted = jax.jit(fn, donate_argnums=(3,))
+
+    def call(scene, camera, frame_count, state, static_ok=False):
+        return jitted(scene, camera, frame_count, state,
+                      jnp.asarray(static_ok, jnp.bool_))
+
+    return call

@@ -39,21 +39,27 @@ def init_state(width: int, height: int) -> dict:
     }
 
 
-def render_band(scene, camera, frame_count, state, ctx, make_view):
+def render_band(scene, camera, frame_count, state, ctx, make_view,
+                static_ok=False):
     """One frame over one band; `make_view` lifts band-local flat arrays to
     neighbor-readable BandViews (trivial on one chip, halo-exchanged on a
-    mesh). Shared by the single-chip and sharded pipelines."""
+    mesh). Shared by the single-chip and sharded pipelines.
+
+    static_ok: traced bool - caller asserts the world (camera + scene) is
+    unchanged since the previous frame, enabling temporal replay dedup
+    (ops/restir.py). False is always safe.
+    """
     width, height = ctx["width"], ctx["height"]
     n_primary = ctx["band_h"] * width
     gb = gbuffer_ops.render_gbuffer(scene, camera, width, height,
                                     y0=ctx["y0"], band_h=ctx["band_h"])
     reservoirs_t, rays_t = restir_ops.restir_temporal(
         scene, gb, make_view(state["gb"]), make_view(state["res"]),
-        camera, frame_count, ctx)
+        camera, frame_count, ctx, static_ok=static_ok)
 
     gb_packed = gbuffer_ops.pack_gb(gb)
     gb_view = make_view(gb_packed)
-    reservoirs_s, hdr, rays_s = restir_ops.restir_spatial(
+    reservoirs_s, hdr, rays_s, diag = restir_ops.restir_spatial(
         scene, gb, gb_view, reservoirs_t,
         make_view(restir_ops.pack_reservoirs(reservoirs_t)), camera,
         frame_count, ctx)
@@ -64,12 +70,13 @@ def render_band(scene, camera, frame_count, state, ctx, make_view):
     new_state = {"gb": gb_packed,
                  "res": restir_ops.pack_reservoirs(reservoirs_s),
                  "accum": accum}
-    aux = {"rays": jnp.float32(n_primary) + rays_t + rays_s}
+    aux = {"rays": jnp.float32(n_primary) + rays_t + rays_s, **diag}
     return ldr, hdr, new_state, aux
 
 
 @partial(jax.jit, static_argnames=("width", "height"), donate_argnums=(3,))
-def render_frame(scene, camera, frame_count, state, width: int, height: int):
+def render_frame(scene, camera, frame_count, state, width: int, height: int,
+                 static_ok=False):
     """One complete ReSTIR frame on a single chip.
 
     Args:
@@ -78,6 +85,8 @@ def render_frame(scene, camera, frame_count, state, width: int, height: int):
       frame_count: uint32 scalar; the accumulation/SPP counter that resets
         on camera movement (state.rs:151-152 semantics - caller resets).
       state: FrameState pytree (donated).
+      static_ok: bool - nothing (camera/scene) changed since last frame;
+        enables temporal replay dedup. False is always safe.
 
     Returns (ldr [n,3] gamma-encoded, hdr [n,3], new_state, aux) where
     aux["rays"] is the exact number of traversal queries this frame.
@@ -87,4 +96,5 @@ def render_frame(scene, camera, frame_count, state, width: int, height: int):
     def make_view(flat):
         return views_mod.trivial_view(flat, width, height)
 
-    return render_band(scene, camera, frame_count, state, ctx, make_view)
+    return render_band(scene, camera, frame_count, state, ctx, make_view,
+                       static_ok=static_ok)

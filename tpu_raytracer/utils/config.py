@@ -29,6 +29,9 @@ class RenderConfig:
     checkpoint: str = ""            # resume path ("" = fresh)
     out_dir: str = "output"
     max_frames: int = 0             # 0 = run until quit
+    preview: bool = True            # live ANSI frame display (blit analogue;
+                                    # auto-disabled when stdout isn't a tty)
+    preview_cols: int = 100
 
 
 def parse_args(argv=None) -> RenderConfig:
@@ -47,6 +50,8 @@ def parse_args(argv=None) -> RenderConfig:
     ap.add_argument("--checkpoint", type=str, default=cfg.checkpoint)
     ap.add_argument("--out-dir", type=str, default=cfg.out_dir)
     ap.add_argument("--max-frames", type=int, default=cfg.max_frames)
+    ap.add_argument("--no-preview", dest="preview", action="store_false")
+    ap.add_argument("--preview-cols", type=int, default=cfg.preview_cols)
     args = ap.parse_args(argv)
 
     if args.scale:
@@ -59,6 +64,6 @@ def parse_args(argv=None) -> RenderConfig:
                   f"{cfg.width}x{cfg.height}")
     for name in ("scene", "target_spp", "denoise", "denoise_iterations",
                  "debug_mode", "tiles", "halo", "checkpoint", "out_dir",
-                 "max_frames"):
+                 "max_frames", "preview", "preview_cols"):
         setattr(cfg, name, getattr(args, name))
     return cfg
