@@ -1,0 +1,106 @@
+"""MXU feature-matmul intersector vs the exact-f32 VPU sweep.
+
+The mxu3 kernel carries ~2^-16 relative error in its window tests (3-pass
+bf16 split); winners may flip only for knife-edge rays. Downstream, the
+winner's t/u/v/front are recomputed EXACTLY in ops/hit.py, so agreement
+here only needs to be near-total, not bitwise. Runs in the Pallas
+interpreter on CPU (same arithmetic graph as the TPU lowering).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_raytracer.ops import pallas_trace
+
+
+def _scene(rng, t=300):
+    v0 = rng.standard_normal((t, 3)).astype(np.float32) * 2
+    e1 = rng.standard_normal((t, 3)).astype(np.float32)
+    e2 = rng.standard_normal((t, 3)).astype(np.float32)
+    planes, aabb, _ = pallas_trace.pack_triangles(v0, e1, e2)
+    return jnp.asarray(planes), jnp.asarray(aabb)
+
+
+def test_mxu_matches_vpu():
+    rng = np.random.default_rng(3)
+    planes, aabb = _scene(rng)
+    r = 1500
+    ro = jnp.asarray(rng.standard_normal((r, 3)).astype(np.float32) * 3)
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
+                                          kernel="vpu")
+    ref_tri = np.asarray(ref["tri"])
+    for mode in ("mxu3", "mxuw", "mxuf1", "mxuf2", "mxuf4"):
+        out = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3,
+                                              50.0, kernel=mode)
+        out_tri = np.asarray(out["tri"])
+        hit_agree = ((ref_tri >= 0) == (out_tri >= 0)).mean()
+        assert hit_agree > 0.999, (mode, hit_agree)
+        both = (ref_tri >= 0) & (out_tri >= 0)
+        tri_agree = (ref_tri[both] == out_tri[both]).mean()
+        assert tri_agree > 0.999, (mode, tri_agree)
+        # kernel t is ORDERING-only (ops/hit.py recomputes the exact
+        # value); glancing hits (tiny det) amplify its relative error, so
+        # bound the distribution, not the worst glancing lane.
+        same = both & (ref_tri == out_tri)
+        t_err = np.abs(np.asarray(out["t"]) - np.asarray(ref["t"]))[same]
+        rel = t_err / np.maximum(np.asarray(ref["t"])[same], 1e-6)
+        assert np.median(rel) < 1e-4, (mode, np.median(rel))
+        assert rel.max() < 3e-2, (mode, rel.max())
+
+
+def test_anyhit_matches_closest_occlusion():
+    """The early-out occlusion kernel must agree with closest-hit
+    hit/miss on windowed rays (restir.wgsl:375-381 semantics), including
+    inactive lanes and per-ray t_max bounds."""
+    rng = np.random.default_rng(5)
+    planes, aabb = _scene(rng)
+    r = 1200
+    ro = jnp.asarray(rng.standard_normal((r, 3)).astype(np.float32) * 3)
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+    t_max = jnp.asarray(
+        rng.uniform(0.5, 8.0, (r,)).astype(np.float32))
+    active = jnp.asarray(rng.uniform(size=r) > 0.3)
+
+    ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3,
+                                          t_max, kernel="vpu",
+                                          active=active)
+    ref_hit = np.asarray(ref["tri"]) >= 0
+    for mode in ("any2", "any4"):
+        out = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3,
+                                              t_max, any_hit=True,
+                                              kernel=mode, active=active)
+        got_hit = np.asarray(out["tri"]) >= 0
+        agree = (ref_hit == got_hit).mean()
+        assert agree > 0.999, (mode, agree)
+        assert not got_hit[~np.asarray(active)].any()
+
+
+def test_mxu_coef_identity():
+    """phi(ray) @ coef == direct MT terms (f64 check of the derivation)."""
+    rng = np.random.default_rng(4)
+    t = pallas_trace.CT  # one chunk
+    v0 = rng.standard_normal((t, 3)).astype(np.float32)
+    e1 = rng.standard_normal((t, 3)).astype(np.float32)
+    e2 = rng.standard_normal((t, 3)).astype(np.float32)
+    planes, _, _ = pallas_trace.pack_triangles(v0, e1, e2)
+    coef = np.asarray(pallas_trace.mt_coef_device(jnp.asarray(planes)))
+    coef = coef.reshape(16, 1, 4, pallas_trace.CT)[:, 0]   # [16, 4, CT]
+
+    o = rng.standard_normal(3).astype(np.float64)
+    d = rng.standard_normal(3).astype(np.float64)
+    phi = np.concatenate([np.outer(o, d).reshape(-1), d, o, [1.0]])
+    got = np.einsum("f,fqt->qt", phi, coef.astype(np.float64))
+
+    pvec = np.cross(d, e2.astype(np.float64))
+    det = (e1 * pvec).sum(1)
+    tvec = o - v0
+    u_n = (tvec * pvec).sum(1)
+    qvec = np.cross(tvec, e1.astype(np.float64))
+    v_n = (d[None] * qvec).sum(1)
+    t_n = (e2 * qvec).sum(1)
+    for q, ref in ((0, det), (1, u_n), (2, v_n), (3, t_n)):
+        np.testing.assert_allclose(got[q], ref, rtol=2e-4, atol=2e-4)

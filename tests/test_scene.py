@@ -49,7 +49,7 @@ def test_cornell_compile_shapes():
     scene = scenes.create_cornell_box()
     t = scene.num_triangles
     assert t > 1000
-    assert scene.tri_table.shape == (t, 26)
+    assert scene.tri_table.shape == (t, 35)
     assert scene.num_lights == 2
     assert scene.mat_table.shape[1] == 17
     assert "color" in scene.tex_channels          # checker floor

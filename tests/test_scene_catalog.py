@@ -1,0 +1,62 @@
+"""Named scene catalog parity (scenes.rs:321-504).
+
+Uses the synthetic one-triangle glTF from test_scene to exercise the real
+load path; asset-less constructors must follow the reference's fallback
+chain (truffle -> avocado -> floor+light scene)."""
+
+import numpy as np
+
+from tpu_raytracer.models import scenes
+from tpu_raytracer.scene.material import Material
+
+from test_scene import _write_tiny_gltf
+
+
+def test_named_gltf_wrappers_fallback(tmp_path):
+    # no assets on disk: each wrapper must still build a valid scene
+    for ctor in (scenes.create_avocado_scene,
+                 scenes.create_damaged_helmet_scene,
+                 scenes.create_multi_material_model_scene):
+        scene = ctor(str(tmp_path / "missing.glb"))
+        assert scene.num_lights == 1          # the quad light survives
+        assert scene.num_triangles >= 2       # the floor
+
+
+def test_truffle_material_rewrite():
+    dark = Material((0.1, 0.1, 0.1, 1.0))
+    scenes.truffle_material_rewrite(dark)
+    assert dark.roughness_ == 0.02 and dark.metallic_ == 0.0
+    bright = Material((0.9, 0.2, 0.2, 1.0))   # luma 0.41 > 0.25
+    m0 = bright.metallic_
+    scenes.truffle_material_rewrite(bright)
+    assert bright.roughness_ == 0.25 and bright.metallic_ == m0
+    # BT.601 boundary: green dominates luma
+    greenish = Material((0.0, 0.43, 0.0, 1.0))  # luma 0.252
+    scenes.truffle_material_rewrite(greenish)
+    assert greenish.roughness_ == 0.25
+
+
+def test_truffle_scene_with_asset(tmp_path):
+    path = _write_tiny_gltf(str(tmp_path))
+    scene = scenes.create_chocolate_truffle_scene(path)
+    # 3 sphere studio lights (scenes.rs:462-493)
+    assert scene.num_lights == 3
+    lt = np.asarray(scene.light_table)
+    strengths = sorted(lt[:, 14].tolist())
+    assert strengths == [10.0, 40.0, 80.0]
+    # obsidian floor material present: metallic forced to 1 by the fluent
+    # .metallic(0.8) quirk (material.rs:54-58), roughness 0.8
+    mats = np.asarray(scene.mat_table)
+    floor_rows = np.where((np.abs(mats[:, 0] - 0.02) < 1e-6)
+                          & (mats[:, 8] == 1.0))[0]
+    assert len(floor_rows) == 1
+    assert abs(mats[floor_rows[0], 7] - 0.8) < 1e-6
+
+
+def test_truffle_fallback_chain(tmp_path, capsys):
+    scene = scenes.create_chocolate_truffle_scene(
+        str(tmp_path / "missing.glb"))
+    out = capsys.readouterr().out
+    assert "Failed to load gift chocolate" in out
+    # fell back to the avocado scene (itself falling back to floor+light)
+    assert scene.num_lights == 1

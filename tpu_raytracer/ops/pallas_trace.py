@@ -10,9 +10,16 @@ scene/builder.py) and intersection is a blocked sweep:
      AABB and OR-reduces per 256-ray block into a compacted per-block
      chunk WORKLIST (block-frustum culling; dead blocks get an empty
      list - free lane compaction for terminated wavefronts).
-  2. The kernel walks only its block's worklist; each step is a fully
-     unrolled [BR x CT] MT test in registers with an on-the-fly
-     arg-min-t - zero divergence, zero in-kernel gathers.
+  2. The kernel walks only its block's worklist; each step evaluates the
+     MT determinants for a whole chunk group as ONE MXU feature matmul
+     (the default "mxuf2" kernel: phi(ray) replicated to K=48 so the
+     full 3-pass bf16 hi/lo product rides a single dot - MXU cost is
+     K-invariant up to 128, scripts/ucb_kdepth.py - and 2 chunks ride
+     the dot's N dimension), then does sign-aware window tests +
+     argmin-t on the VPU. Zero divergence, zero in-kernel gathers;
+     winner attributes (exact t/u/v/front) are recomputed OUTSIDE the
+     kernel from one wide tri_table row (ops/hit.py), so the sweep
+     carries no selection machinery.
 
 Replaces hardware `ray_query` (gbuffer.wgsl:108, restir.wgsl:601) for the
 default scene sizes; the unified-stream BVH (ops/traversal.py) remains the
@@ -26,6 +33,7 @@ validity row (padding kills phantom hits); chunk AABBs [Tp/CT, 8]; rays
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +46,41 @@ INF = 3.0e38
 BR = 256      # rays per block (sublane-major)
 CT = 128      # triangles per inner chunk (lane-major) = cull granularity
 _MT_EPS = 1e-9
+
+# Intersector kernel variant:
+#   "mxufN" - the 3-pass bf16 split FUSED into one K=48 dot
+#            ([f_hi|f_hi|f_lo] @ [c_hi;c_lo;c_hi] - MXU cost is
+#            K-invariant up to 128, scripts/ucb_kdepth.py, so one K=48
+#            dot costs a third of three K=16 dots), N chunks swept per
+#            loop step along the dot's N dimension (worklists cull at
+#            N-chunk granularity).
+#   "mxu3" - one K=16 dot per chunk, 3-pass bf16 split (~2^-16 relative
+#            error in the window tests; the winner's t/u/v are recomputed
+#            exactly in ops/hit.py) (6.1 vs 4.6 Mrays/s base).
+#   "mxuwN" - N chunks packed BLOCK-DIAGONALLY into one K=16N dot.
+#            Strictly dominated by mxufN (the shared-feature dot never
+#            needed the diagonal expansion) - kept for the A/B record.
+#   "mxu1" - single bf16 pass. BROKEN for rendering: ~2^-8 t-window error
+#            leaks contact shadows (18 dB vs exact; scripts/ucb_quality).
+#            Kept for experiments only.
+#   "vpu"  - the original all-VPU elementwise sweep (exact f32).
+KERNEL_MODE = os.environ.get("TPU_RT_KERNEL", "mxuf2")
+
+GROUP = 8                      # chunks per K=128 block-diagonal dot
+# coef VMEM for mxuw is 256 B/tri; stay well inside the 16 MB VMEM
+MXUW_MAX_TP = 48 * 1024
+# mxuf coef48 is 384 B/tri bf16; mxu3/mxu1 coef is 256 B/tri f32
+MXUF_MAX_TP = 32 * 1024
+MXU_MAX_TP = 48 * 1024
+
+
+def _mode_grp(mode: str) -> int:
+    """Chunks swept per loop step for grouped modes (mxufN/mxuwN/anyN)."""
+    if mode.startswith("mxuf") or mode.startswith("mxuw"):
+        return int(mode[4:]) if len(mode) > 4 else GROUP
+    if mode.startswith("any"):
+        return int(mode[3:]) if len(mode) > 3 else 2
+    return 1
 
 
 def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
@@ -74,8 +117,393 @@ def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     return planes, aabb, tp
 
 
+def mt_coef_device(tri_planes, wide: bool = False, group: int = GROUP):
+    """[4,3,Tp] planes -> Moller-Trumbore feature-matmul coefficients
+    (jnp; cheap enough to rebuild per trace, so refit / LBVH-reorder
+    paths need no extra bookkeeping).
+
+    det/u_num/v_num/t_num are linear in the 16-dim ray feature vector
+    phi = [o_i d_j (9), d (3), o (3), 1]:
+        det   =  d . (e2 x e1)
+        u_num =  det3(o,d,e2) + d . (v0 x e2)       (= u * det)
+        v_num = -det3(o,d,e1) - d . (v0 x e1)       (= v * det)
+        t_num =  o . n - v0 . n,  n = e1 x e2       (= t * det)
+    Padding triangles are all-zero -> det == 0 -> can never hit.
+
+    wide=False ("mxu3"): [16, NC*4*CT]; chunk c occupies columns
+    [c*4CT, (c+1)*4CT) as [det|u|v|t] blocks of CT each.
+    wide=True ("mxuw*"): [16, NG*4*group*CT] grouped by `group` chunks;
+    group g occupies a [det|u|v|t]-major block of 4*group*CT columns,
+    each quantity chunk-major - the kernel expands rows 16 -> 16*group
+    block-diagonally so one dot covers all `group` chunks.
+    """
+    tp = tri_planes.shape[2]
+    nc = tp // CT
+    v0 = tri_planes[0].T                               # [Tp, 3]
+    e1 = tri_planes[1].T
+    e2 = tri_planes[2].T
+    n = jnp.cross(e1, e2)
+    z = jnp.zeros((tp,), jnp.float32)
+    one = jnp.ones((tp,), jnp.float32)
+
+    def skew(e):
+        # S[f] with f = 3*i + j: o_i d_j S_f = det3(o, d, e)
+        return [z, e[:, 2], -e[:, 1],
+                -e[:, 2], z, e[:, 0],
+                e[:, 1], -e[:, 0], z]
+
+    c_det = [z] * 9 + [c for c in jnp.cross(e2, e1).T] + [z] * 3 + [z]
+    v0xe2 = jnp.cross(v0, e2)
+    c_u = skew(e2) + [v0xe2[:, 0], v0xe2[:, 1], v0xe2[:, 2]] + [z] * 3 + [z]
+    v0xe1 = jnp.cross(v0, e1)
+    c_v = ([-s for s in skew(e1)]
+           + [-v0xe1[:, 0], -v0xe1[:, 1], -v0xe1[:, 2]] + [z] * 3 + [z])
+    c_t = ([z] * 12 + [n[:, 0], n[:, 1], n[:, 2]]
+           + [-jnp.sum(v0 * n, axis=1)])
+    coef = jnp.stack(
+        [jnp.stack(cols, axis=1) for cols in (c_det, c_u, c_v, c_t)],
+        axis=2)                                        # [Tp, 16, 4]
+    if not wide:
+        coef = coef.reshape(nc, CT, 16, 4).transpose(2, 0, 3, 1)
+        return coef.reshape(16, nc * 4 * CT)           # [16, NC*4*CT]
+    ng = (nc + group - 1) // group
+    pad = ng * group * CT - tp
+    if pad:
+        coef = jnp.concatenate(
+            [coef, jnp.zeros((pad, 16, 4), jnp.float32)], axis=0)
+    coef = coef.reshape(ng, group, CT, 16, 4)
+    coef = coef.transpose(3, 0, 4, 1, 2)               # [16,NG,4,group,CT]
+    return coef.reshape(16, ng * 4 * group * CT)
+
+
+def _mxuw_mask(group: int = GROUP):
+    """[16*group, 4*group*CT] block-diagonal selector: row band
+    16j..16j+16 is live only over chunk j's columns (each quantity block
+    is chunk-major)."""
+    cols = 4 * group * CT
+    r = np.arange(16 * group)[:, None] // 16
+    j = (np.arange(cols)[None, :] % (group * CT)) // CT
+    return jnp.asarray((r == j).astype(np.float32))
+
+
+def mt_coef48(tri_planes, group: int = 1):
+    """[4,3,Tp] planes -> fused 3-pass coefficients [48, NG*group*4*CT]
+    bf16: rows [c_hi; c_lo; c_hi] so ONE K=48 dot against
+    [f_hi | f_hi | f_lo] accumulates the full bf16x3 product in f32.
+    Chunk count padded up to a multiple of `group` (zero coef = det 0 =
+    never hits)."""
+    coef = mt_coef_device(tri_planes)                  # [16, NC*4CT] f32
+    nc = coef.shape[1] // (4 * CT)
+    ng = (nc + group - 1) // group
+    pad = (ng * group - nc) * 4 * CT
+    if pad:
+        coef = jnp.concatenate(
+            [coef, jnp.zeros((16, pad), jnp.float32)], axis=1)
+    hi, lo = _split_bf16(coef)
+    return jnp.concatenate([hi, lo, hi], axis=0)       # [48, NG*grp*4CT]
+
+
+def _feat48(rays):
+    """Rays [8, BR] -> fused bf16 feature matrix [BR, 48] =
+    [f_hi | f_hi | f_lo] (pairs with mt_coef48's row blocks)."""
+    ox, oy, oz = rays[0], rays[1], rays[2]
+    dx, dy, dz = rays[3], rays[4], rays[5]
+    one = jnp.ones_like(ox)
+    feat = jnp.stack([
+        ox * dx, ox * dy, ox * dz,
+        oy * dx, oy * dy, oy * dz,
+        oz * dx, oz * dy, oz * dz,
+        dx, dy, dz, ox, oy, oz, one,
+    ], axis=1)                                        # [BR, 16]
+    f_hi, f_lo = _split_bf16_kernel(feat)
+    return jnp.concatenate([f_hi, f_hi, f_lo], axis=1)
+
+
+def _dot48(feat, coef):
+    return jax.lax.dot_general(
+        feat, coef, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+
+
+def _mt_kernel_mxuf(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
+                    *, num_groups, any_hit, use_worklist=True, grp=2):
+    """Fused-pass MXU MT sweep: the whole 3-pass bf16 product is ONE
+    K=48 dot per group of `grp` chunks (columns are chunk-major, so the
+    shared ray features need no block-diagonal expansion - unlike
+    `_mt_kernel_mxuw` the extra chunks ride the dot's N dimension)."""
+    rays = rays_ref[:]
+    t_min = rays[6][:, None]
+    t_max = rays[7][:, None]
+    feat = _feat48(rays)
+
+    b = pl.program_id(0)
+    n_live = count_ref[b] if use_worklist else num_groups
+    cols = grp * 4 * CT
+
+    def group(i, carry):
+        t_best, idx_best = carry
+        g = list_ref[i, b] if use_worklist else i
+        prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
+        for k in range(grp):                 # unrolled: VPU tests per chunk
+            o = k * 4 * CT
+            det = prod[:, o:o + CT]
+            u_n = prod[:, o + CT:o + 2 * CT]
+            v_n = prod[:, o + 2 * CT:o + 3 * CT]
+            t_n = prod[:, o + 3 * CT:o + 4 * CT]
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            d_abs = det * sgn
+            ok = d_abs > _MT_EPS
+            u2 = u_n * sgn
+            v2 = v_n * sgn
+            t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+            hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+                   & (t_val > t_min) & (t_val < t_max)
+                   & (t_val < t_best[:, None]))
+            t_cand = jnp.where(hit, t_val, INF)
+            best_lane = jnp.argmin(t_cand, axis=1)
+            t_new = jnp.min(t_cand, axis=1)
+            improved = t_new < t_best
+            t_best = jnp.where(improved, t_new, t_best)
+            idx_best = jnp.where(improved, (g * grp + k) * CT + best_lane,
+                                 idx_best)
+        return t_best, idx_best
+
+    init = (jnp.full((BR,), INF, jnp.float32), jnp.full((BR,), -1, jnp.int32))
+    t_best, idx_best = jax.lax.fori_loop(0, n_live, group, init)
+    t_ref[0, :] = t_best
+    idx_ref[0, :] = idx_best
+
+
+def _mt_kernel_any(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
+                   *, num_groups, use_worklist=True, grp=2):
+    """Any-hit (occlusion) sweep (restir.wgsl:375-381, flag 0x4
+    terminate-on-first-hit economics): division-free window tests, no
+    argmin-t / winner selection - an occlusion query only needs a
+    per-lane hit flag, so the whole selection half of the closest-hit
+    kernel disappears. Early-out comes from upstream instead: shadow
+    t_max <= light distance shrinks the chunk worklists in the slab
+    pre-pass, and dead blocks (count 0) skip the sweep entirely.
+
+    (A previous version also carried an in-kernel SMEM done flag under
+    `pl.when`; it miscompiled on Mosaic - interpreter-exact, ~0.05%
+    wrong on chip - so the accumulator is a plain fori_loop carry now.)
+
+    Outputs: idx = 1 where occluded else -1; t = t_max (unused).
+    """
+    rays = rays_ref[:]
+    t_min = rays[6][:, None]
+    t_max = rays[7][:, None]
+    feat = _feat48(rays)
+
+    b = pl.program_id(0)
+    n_live = count_ref[b] if use_worklist else num_groups
+    cols = grp * 4 * CT
+
+    def body(i, hit_acc):
+        g = list_ref[i, b] if use_worklist else i
+        prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
+        for k in range(grp):
+            o = k * 4 * CT
+            det = prod[:, o:o + CT]
+            u_n = prod[:, o + CT:o + 2 * CT]
+            v_n = prod[:, o + 2 * CT:o + 3 * CT]
+            t_n = prod[:, o + 3 * CT:o + 4 * CT]
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            d_abs = det * sgn
+            ok = d_abs > _MT_EPS
+            u2 = u_n * sgn
+            v2 = v_n * sgn
+            tn2 = t_n * sgn
+            hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+                   & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
+            hit_acc = jnp.maximum(
+                hit_acc, jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
+        return hit_acc
+
+    hit_acc = jax.lax.fori_loop(0, n_live, body,
+                                jnp.zeros((BR,), jnp.float32))
+    t_ref[0, :] = rays[7]
+    idx_ref[0, :] = jnp.where(hit_acc > 0.0, 1, -1).astype(jnp.int32)
+
+
+def _mt_kernel_mxuw(count_ref, list_ref, rays_ref, coef_ref, mask_ref,
+                    t_ref, idx_ref, *, num_groups, any_hit,
+                    use_worklist=True, passes=3, grp=GROUP):
+    """Wide MXU MT sweep: GROUP chunks per K=128 block-diagonal dot.
+
+    A K=16 dot costs the same as K=128 on the MXU (systolic fill;
+    scripts/ucb_kdepth.py), so expanding the [16, 4*GROUP*CT] compact
+    coefficients into a [128, 4*GROUP*CT] block-diagonal (tile rows x
+    the 0/1 mask) buys GROUP chunks per dot for one chunk's price.
+    Worklists cull at GROUP-chunk granularity.
+    """
+    rays = rays_ref[:]
+    ox, oy, oz = rays[0], rays[1], rays[2]
+    dx, dy, dz = rays[3], rays[4], rays[5]
+    t_min = rays[6][:, None]
+    t_max = rays[7][:, None]
+    one = jnp.ones_like(ox)
+    feat = jnp.stack([
+        ox * dx, ox * dy, ox * dz,
+        oy * dx, oy * dy, oy * dz,
+        oz * dx, oz * dy, oz * dz,
+        dx, dy, dz, ox, oy, oz, one,
+    ], axis=1)                                        # [BR, 16]
+    f_hi, f_lo = _split_bf16_kernel(feat)
+    fh = jnp.concatenate([f_hi] * grp, axis=1)        # [BR, 16*grp]
+    fl = jnp.concatenate([f_lo] * grp, axis=1)
+    mask = mask_ref[:]
+
+    b = pl.program_id(0)
+    n_live = count_ref[b] if use_worklist else num_groups
+    gct = grp * CT
+    cols = 4 * gct
+
+    def group(i, carry):
+        t_best, idx_best = carry
+        g = list_ref[i, b] if use_worklist else i
+        cs = coef_ref[:, pl.ds(g * cols, cols)]       # [16, 4*grp*CT]
+        c_hi, c_lo = _split_bf16_kernel(cs)
+        bd_hi = jnp.concatenate([c_hi] * grp, axis=0) * mask.astype(
+            jnp.bfloat16)
+        bd_lo = jnp.concatenate([c_lo] * grp, axis=0) * mask.astype(
+            jnp.bfloat16)
+
+        def dot(a, bb):
+            return jax.lax.dot_general(
+                a, bb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        prod = dot(fh, bd_hi)
+        if passes >= 3:
+            prod = prod + dot(fh, bd_lo) + dot(fl, bd_hi)
+
+        det = prod[:, 0:gct]
+        u_n = prod[:, gct:2 * gct]
+        v_n = prod[:, 2 * gct:3 * gct]
+        t_n = prod[:, 3 * gct:4 * gct]
+        sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+        d_abs = det * sgn
+        ok = d_abs > _MT_EPS
+        u2 = u_n * sgn
+        v2 = v_n * sgn
+        t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+        hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+               & (t_val > t_min) & (t_val < t_max)
+               & (t_val < t_best[:, None]))
+        t_cand = jnp.where(hit, t_val, INF)
+        best_lane = jnp.argmin(t_cand, axis=1)
+        t_new = jnp.min(t_cand, axis=1)
+        improved = t_new < t_best
+        return (jnp.where(improved, t_new, t_best),
+                jnp.where(improved, g * gct + best_lane, idx_best))
+
+    init = (jnp.full((BR,), INF, jnp.float32), jnp.full((BR,), -1, jnp.int32))
+    t_best, idx_best = jax.lax.fori_loop(0, n_live, group, init)
+    t_ref[0, :] = t_best
+    idx_ref[0, :] = idx_best
+
+
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~ x (16 mantissa bits).
+
+    MUST go through `lax.reduce_precision`: the naive
+    `x - x.astype(bf16).astype(f32)` gets its convert round-trip ELIDED
+    by XLA's excess-precision simplifier under jit, silently zeroing the
+    lo term (the fused mxuf dot then degrades to a single bf16 pass:
+    ~10% t error on grazing hits -> phantom light-quad occlusions;
+    scripts/ucb_k48_bisect3.py is the eager-vs-jit repro). Mosaic
+    (in-kernel) never folded it, which is why the in-kernel splits of
+    mxu3/mxuw masked the bug."""
+    hi_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (x - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split_bf16_kernel(x):
+    """In-kernel split: Mosaic neither elides the convert round-trip nor
+    lowers `reduce_precision`, so the naive form is both safe and the
+    only option inside Pallas kernels."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mt_kernel_mxu(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
+                   *, num_chunks, any_hit, use_worklist=True, passes=3):
+    """Blocked MT sweep with the per-(ray,tri) algebra on the MXU.
+
+    Each chunk step is one [BR,16] @ [16,4*CT] matmul (bf16, `passes`-way
+    hi/lo split accumulated in f32) producing det/u_num/v_num/t_num,
+    followed by sign-aware division-free window tests + argmin on the VPU.
+    Replaces the ~60-op elementwise MT of `_mt_kernel` with ~22 VPU ops +
+    MXU work, ~an order of magnitude faster per test on v5e
+    (scripts/ucb_mxu.py).
+    """
+    rays = rays_ref[:]
+    ox, oy, oz = rays[0], rays[1], rays[2]
+    dx, dy, dz = rays[3], rays[4], rays[5]
+    t_min = rays[6][:, None]
+    t_max = rays[7][:, None]
+    one = jnp.ones_like(ox)
+    feat = jnp.stack([
+        ox * dx, ox * dy, ox * dz,
+        oy * dx, oy * dy, oy * dz,
+        oz * dx, oz * dy, oz * dz,
+        dx, dy, dz, ox, oy, oz, one,
+    ], axis=1)                                        # [BR, 16]
+    f_hi, f_lo = _split_bf16_kernel(feat)
+
+    b = pl.program_id(0)
+    n_live = count_ref[b] if use_worklist else num_chunks
+
+    def chunk(i, carry):
+        t_best, idx_best = carry
+        c = list_ref[i, b] if use_worklist else i
+        coef = coef_ref[:, pl.ds(c * 4 * CT, 4 * CT)]  # [16, 4CT]
+
+        def dot(a, bb):
+            return jax.lax.dot_general(
+                a, bb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        c_hi, c_lo = _split_bf16_kernel(coef)
+        prod = dot(f_hi, c_hi)
+        if passes >= 3:
+            prod = prod + dot(f_hi, c_lo) + dot(f_lo, c_hi)
+
+        det = prod[:, 0:CT]
+        u_n = prod[:, CT:2 * CT]
+        v_n = prod[:, 2 * CT:3 * CT]
+        t_n = prod[:, 3 * CT:4 * CT]
+        sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+        d_abs = det * sgn
+        ok = d_abs > _MT_EPS
+        u2 = u_n * sgn
+        v2 = v_n * sgn
+        t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+        hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+               & (t_val > t_min) & (t_val < t_max)
+               & (t_val < t_best[:, None]))
+        t_cand = jnp.where(hit, t_val, INF)
+        best_lane = jnp.argmin(t_cand, axis=1)
+        t_new = jnp.min(t_cand, axis=1)
+        improved = t_new < t_best
+        return (jnp.where(improved, t_new, t_best),
+                jnp.where(improved, c * CT + best_lane, idx_best))
+
+    init = (jnp.full((BR,), INF, jnp.float32), jnp.full((BR,), -1, jnp.int32))
+    t_best, idx_best = jax.lax.fori_loop(0, n_live, chunk, init)
+    t_ref[0, :] = t_best
+    idx_ref[0, :] = idx_best
+
+
 def _mt_kernel(count_ref, list_ref, rays_ref, tri_ref, t_ref, idx_ref,
-               uvf_ref, *, num_chunks, any_hit, use_worklist=True):
+               *, num_chunks, any_hit, use_worklist=True):
     rays = rays_ref[:]                      # [8, BR]
     ox, oy, oz = rays[0], rays[1], rays[2]  # [BR]
     dx, dy, dz = rays[3], rays[4], rays[5]
@@ -90,7 +518,7 @@ def _mt_kernel(count_ref, list_ref, rays_ref, tri_ref, t_ref, idx_ref,
     n_live = count_ref[b] if use_worklist else num_chunks
 
     def chunk(i, carry):
-        t_best, idx_best, u_best, v_best, f_best = carry
+        t_best, idx_best = carry
         c = list_ref[i, b] if use_worklist else i
         tri = tri_ref[:, :, pl.ds(c * CT, CT)]    # [4, 3, CT]
         v0x, v0y, v0z = tri[0, 0], tri[0, 1], tri[0, 2]   # [CT]
@@ -130,40 +558,23 @@ def _mt_kernel(count_ref, list_ref, rays_ref, tri_ref, t_ref, idx_ref,
         t_new = jnp.min(t_cand, axis=1)
         improved = t_new < t_best
 
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (BR, CT), 1)
-        sel = lane_ids == best_lane[:, None]
-        u_new = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
-        v_new = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
-        f_new = jnp.sum(jnp.where(sel, jnp.where(det > 0, 1.0, 0.0), 0.0), axis=1)
-
         t_best = jnp.where(improved, t_new, t_best)
         idx_best = jnp.where(improved, c * CT + best_lane, idx_best)
-        u_best = jnp.where(improved, u_new, u_best)
-        v_best = jnp.where(improved, v_new, v_best)
-        f_best = jnp.where(improved, f_new, f_best)
-        return t_best, idx_best, u_best, v_best, f_best
+        return t_best, idx_best
 
     init = (
         jnp.full((BR,), INF, jnp.float32),
         jnp.full((BR,), -1, jnp.int32),
-        jnp.zeros((BR,), jnp.float32),
-        jnp.zeros((BR,), jnp.float32),
-        jnp.zeros((BR,), jnp.float32),
     )
-    t_best, idx_best, u_best, v_best, f_best = jax.lax.fori_loop(
-        0, n_live, chunk, init
-    )
+    t_best, idx_best = jax.lax.fori_loop(0, n_live, chunk, init)
     t_ref[0, :] = t_best
     idx_ref[0, :] = idx_best
-    uvf_ref[0, :] = u_best
-    uvf_ref[1, :] = v_best
-    uvf_ref[2, :] = f_best
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "reorder"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "reorder", "kernel"))
 def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
                        any_hit: bool = False, active=None,
-                       reorder: str = "none"):
+                       reorder: str = "none", kernel: str = KERNEL_MODE):
     """Closest-hit (or any-hit) over ALL triangles.
 
     Args:
@@ -225,68 +636,130 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     t_exit = jnp.minimum(jnp.min(jnp.maximum(a, bb), axis=-1), tmax_b)
     ray_hit = (t_entry <= t_exit) & (tmax_b > 0.0)        # [nb, BR, NC]
     block_hit = ray_hit.any(axis=1)                        # [nb, NC]
+
+    mode = kernel
+    if any_hit and not mode.startswith("vpu") \
+            and os.environ.get("TPU_RT_ANYHIT", "1") != "0":
+        # occlusion queries take the early-out kernel (same group width
+        # as a grouped closest-hit mode, else pairs of chunks)
+        mode = f"any{_mode_grp(mode)}" if _mode_grp(mode) > 1 else "any2"
+    if mode.startswith("mxuw") and tp > MXUW_MAX_TP:
+        mode = "mxu3"
+    if (mode.startswith("mxuf") or mode.startswith("any")) \
+            and tp > MXUF_MAX_TP:
+        mode = "mxu3" if mode.startswith("mxuf") else "vpu"
+    if mode.startswith("mxu") and not mode.startswith("mxuw") \
+            and not mode.startswith("mxuf") and tp > MXU_MAX_TP:
+        mode = "vpu"
+    grp = _mode_grp(mode)
+    if grp > 1:
+        # cull at group-of-chunks granularity (one worklist entry per dot)
+        ng = (num_chunks + grp - 1) // grp
+        pad = ng * grp - num_chunks
+        if pad:
+            block_hit = jnp.concatenate(
+                [block_hit, jnp.zeros((nb, pad), jnp.bool_)], axis=1)
+        block_hit = block_hit.reshape(nb, ng, grp).any(axis=2)  # [nb, NG]
     counts = block_hit.sum(axis=1).astype(jnp.int32)       # [nb]
-    # stable argsort puts hit chunk ids (ascending) first; stored [NC, nb]
+    # stable argsort puts hit unit ids (ascending) first; stored [U, nb]
     chunk_list = jnp.argsort(~block_hit, axis=1, stable=True
                              ).astype(jnp.int32).T
 
     return _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb,
-                       num_chunks, tp, any_hit, dest=dest)
+                       num_chunks, tp, any_hit, dest=dest, mode=mode)
 
 
 def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
-                tp, any_hit, dest=None):
+                tp, any_hit, dest=None, mode=KERNEL_MODE):
     # SMEM pads the minor dim to 128; when worklists would blow the ~1MB
     # SMEM budget (huge frame x huge scene) the kernel sweeps all chunks
     # and ignores the (dummy) list.
+    num_units = chunk_list.shape[0]       # chunks, or GROUP-chunk groups
     nb_pad = ((nb + 127) // 128) * 128
-    use_worklist = num_chunks * nb_pad * 4 <= 512 * 1024
+    use_worklist = num_units * nb_pad * 4 <= 512 * 1024
     if not use_worklist:
         chunk_list = jnp.zeros((1, nb), jnp.int32)
-    kernel = functools.partial(_mt_kernel, num_chunks=num_chunks,
-                               any_hit=any_hit, use_worklist=use_worklist)
+    extra_args = ()
+    extra_specs = []
+    scratch_shapes = []
+    if mode.startswith("any"):
+        grp = _mode_grp(mode)
+        tri_arg = mt_coef48(tri_planes, group=grp)
+        tri_spec = pl.BlockSpec(tri_arg.shape, lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _mt_kernel_any, num_groups=num_units,
+            use_worklist=use_worklist, grp=grp)
+    elif mode.startswith("mxuf"):
+        grp = _mode_grp(mode)
+        tri_arg = mt_coef48(tri_planes, group=grp)
+        tri_spec = pl.BlockSpec(tri_arg.shape, lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _mt_kernel_mxuf, num_groups=num_units, any_hit=any_hit,
+            use_worklist=use_worklist, grp=grp)
+    elif mode.startswith("mxuw"):
+        grp = int(mode[4:]) if len(mode) > 4 else GROUP
+        tri_arg = mt_coef_device(tri_planes, wide=True, group=grp)
+        tri_spec = pl.BlockSpec(tri_arg.shape, lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+        extra_args = (_mxuw_mask(grp),)
+        extra_specs = [pl.BlockSpec((16 * grp, 4 * grp * CT),
+                                    lambda b: (0, 0),
+                                    memory_space=pltpu.VMEM)]
+        kernel = functools.partial(
+            _mt_kernel_mxuw, num_groups=num_units, any_hit=any_hit,
+            use_worklist=use_worklist, grp=grp)
+    elif mode.startswith("mxu"):
+        tri_arg = mt_coef_device(tri_planes)
+        tri_spec = pl.BlockSpec((16, num_chunks * 4 * CT), lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _mt_kernel_mxu, num_chunks=num_chunks, any_hit=any_hit,
+            use_worklist=use_worklist, passes=1 if mode == "mxu1" else 3)
+    else:
+        tri_arg = tri_planes
+        tri_spec = pl.BlockSpec((4, 3, tp), lambda b: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        kernel = functools.partial(_mt_kernel, num_chunks=num_chunks,
+                                   any_hit=any_hit, use_worklist=use_worklist)
     # CPU backend (tests / multi-chip dry runs on virtual devices) runs the
     # kernel in the Pallas interpreter; TPU compiles via Mosaic.
     interpret = jax.default_backend() != "tpu"
-    t, idx, uvf = pl.pallas_call(
+    t, idx = pl.pallas_call(
         kernel,
         grid=(nb,),
         interpret=interpret,
         in_specs=[
             pl.BlockSpec((nb,), lambda b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((num_chunks if use_worklist else 1, nb),
+            pl.BlockSpec((num_units if use_worklist else 1, nb),
                          lambda b: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 3, tp), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tri_spec,
+            *extra_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, rp), jnp.float32),
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
-            jax.ShapeDtypeStruct((3, rp), jnp.float32),
         ],
-    )(counts, chunk_list, rays, tri_planes)
+        scratch_shapes=scratch_shapes,
+    )(counts, chunk_list, rays, tri_arg, *extra_args)
 
     if dest is not None:
-        # undo the ray permutation with ONE wide-row gather: pack the five
-        # outputs as [rp, 5] rows (tri id rides bitcast through f32).
+        # undo the ray permutation with ONE wide-row gather (tri id rides
+        # bitcast through f32).
         out_rows = jnp.concatenate([
-            t.T, jax.lax.bitcast_convert_type(idx, jnp.float32).T, uvf.T,
+            t.T, jax.lax.bitcast_convert_type(idx, jnp.float32).T,
         ], axis=-1)[dest]
         t = out_rows[:, 0:1].T
         idx = jax.lax.bitcast_convert_type(out_rows[:, 1:2], jnp.int32)[:, 0][None]
-        uvf = out_rows[:, 2:5].T
 
     missed = idx[0, :r] < 0
     return {
         "t": jnp.where(missed, jnp.float32(INF), t[0, :r]),
         "tri": idx[0, :r],
-        "u": uvf[0, :r],
-        "v": uvf[1, :r],
-        "front": uvf[2, :r] > 0.5,
     }

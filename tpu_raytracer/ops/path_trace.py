@@ -227,8 +227,7 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
                           reorder=reorder)
         active = active & (res["tri"] >= 0)
 
-        h = reconstruct_hit(scene, res["tri"], res["u"], res["v"], res["front"],
-                            origin, next_dir, res["t"])
+        h = reconstruct_hit(scene, res["tri"], origin, next_dir, res["t"])
 
         # reconnection vertex (restir.wgsl:624-629)
         first = active & (depth == 1)

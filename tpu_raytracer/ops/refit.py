@@ -88,6 +88,11 @@ def update_instances(scene, transforms):
         t_w = jnp.einsum("tij,tj->ti", nm_t, tl[:, 15 + k * 3:18 + k * 3])
         tri_table = tri_table.at[:, k * 3:k * 3 + 3].set(n_w)
         tri_table = tri_table.at[:, 15 + k * 3:18 + k * 3].set(t_w)
+    # world geometry columns (26:35) used by reconstruct_hit's exact
+    # u/v/front recompute
+    tri_table = tri_table.at[:, 26:29].set(wv0)
+    tri_table = tri_table.at[:, 29:32].set(we1)
+    tri_table = tri_table.at[:, 32:35].set(we2)
 
     # --- BVH: triangle records + bottom-up box refit ---
     rec = scene.bvh_rec

@@ -168,14 +168,15 @@ def _is_valid_neighbor_spatial(scene, curr_pos, curr_normal, curr_mat,
     return ok & jnp.where(is_specular, spec_ok, diff_ok)
 
 
-def restir_temporal(scene, gb, prev_gb_view, prev_res_view, camera,
+def restir_temporal(scene, gb, prev_view, camera,
                     frame_count, ctx, static_ok=False):
     """Candidate generation + temporal reuse.
 
     Returns (reservoirs, ray_count).
 
-    prev_gb_view / prev_res_view: BandViews over last frame's PACKED
-    G-buffer / spatial reservoirs (single wide gather per tap).
+    prev_view: BandView over last frame's CONCATENATED packed G-buffer +
+    spatial reservoirs [.., GB_COLS + RES_COLS] - the reprojection tap
+    reads both with ONE wide-row gather (~4 ms each at 262k on v5e).
 
     static_ok: traced bool - caller asserts NOTHING changed since last
     frame (camera, scene geometry, materials, lights). Enables carrying
@@ -215,9 +216,10 @@ def restir_temporal(scene, gb, prev_gb_view, prev_res_view, camera,
     prev_x = (prev_uv[:, 0] * width).astype(jnp.int32)
     prev_y = (prev_uv[:, 1] * height).astype(jnp.int32)
 
-    from .gbuffer import unpack_gb
+    from .gbuffer import GB_COLS, unpack_gb
 
-    p_rows, cov = prev_gb_view.read(prev_y, prev_x)
+    comb_rows, cov = prev_view.read(prev_y, prev_x)
+    p_rows = comb_rows[..., :GB_COLS]
     pgb = unpack_gb(p_rows)
     p_pos = pgb["pos"]
     p_norm = math3d.oct_decode(pgb["oct_normal"])
@@ -242,8 +244,7 @@ def restir_temporal(scene, gb, prev_gb_view, prev_res_view, camera,
     albedo_ratio = l_curr / l_prev
     reuse &= (albedo_ratio < 3.0) & (albedo_ratio > 0.33)
 
-    r_rows, _ = prev_res_view.read(prev_y, prev_x)
-    prev_res = unpack_reservoirs(r_rows)
+    prev_res = unpack_reservoirs(comb_rows[..., GB_COLS:])
     prev_y_seed = prev_res["y"]
     prev_w = prev_res["W"]
     prev_m = prev_res["M"]
@@ -303,17 +304,17 @@ def _calculate_jacobian(curr_pos, curr_normal, curr_albedo,
     return jnp.where(cos_neigh <= 1e-3, 0.0, jac)
 
 
-def restir_spatial(scene, gb, gb_view, in_reservoirs, in_res_view, camera,
+def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
                    frame_count, ctx):
     """Spatial reuse + final seed replay + shade.
 
-    gb_view / in_res_view: BandViews over the CURRENT frame's PACKED
-    G-buffer and temporal reservoirs (neighbor taps up to 10 px,
-    restir_spatial.wgsl:903).
+    comb_view: BandView over the CURRENT frame's CONCATENATED packed
+    G-buffer + temporal reservoirs - each disk tap (up to 10 px,
+    restir_spatial.wgsl:903) reads both with one wide-row gather.
 
-    Returns (out_reservoirs, hdr_radiance [n,3], ray_count).
+    Returns (out_reservoirs, hdr_radiance [n,3], ray_count, diag).
     """
-    from .gbuffer import unpack_gb
+    from .gbuffer import GB_COLS, unpack_gb
     from .trace_api import scene_occluded
 
     width, height = ctx["width"], ctx["height"]
@@ -355,8 +356,8 @@ def restir_spatial(scene, gb, gb_view, in_reservoirs, in_res_view, camera,
         nx = gx + ox
         ny = gy + oy
 
-        n_rows, cov = gb_view.read(ny, nx)
-        ngb = unpack_gb(n_rows)
+        comb_rows, cov = comb_view.read(ny, nx)
+        ngb = unpack_gb(comb_rows[..., :GB_COLS])
         n_valid = ngb["valid"]
         n_pos = ngb["pos"]
         n_norm = math3d.oct_decode(ngb["oct_normal"])
@@ -367,8 +368,7 @@ def restir_spatial(scene, gb, gb_view, in_reservoirs, in_res_view, camera,
         ok &= _is_valid_neighbor_spatial(
             scene, pos, normal, mat_id, n_pos, n_norm, n_mat, camera_pos)
 
-        nb_rows, _ = in_res_view.read(ny, nx)
-        nbres = unpack_reservoirs(nb_rows)
+        nbres = unpack_reservoirs(comb_rows[..., GB_COLS:])
         nb_y = nbres["y"]
         nb_w = nbres["W"]
         nb_m = nbres["M"]

@@ -32,7 +32,7 @@ def _trace_brute_xla(tri_planes, ray_o, ray_d, t_min, t_max, active=None):
         t_max = jnp.where(active, t_max, 0.0)
 
     def body(carry, chunk):
-        t_best, idx_best, u_best, v_best, f_best, base = carry
+        t_best, idx_best, base = carry
         v0 = chunk[0].T[None]  # [1, c, 3]
         e1 = chunk[1].T[None]
         e2 = chunk[2].T[None]
@@ -56,20 +56,14 @@ def _trace_brute_xla(tri_planes, ray_o, ray_d, t_min, t_max, active=None):
         improved = t_new < t_best
         t_best = jnp.where(improved, t_new, t_best)
         idx_best = jnp.where(improved, base + lane.astype(jnp.int32), idx_best)
-        u_best = jnp.where(improved, u[rr, lane], u_best)
-        v_best = jnp.where(improved, v[rr, lane], v_best)
-        f_best = jnp.where(improved, det[rr, lane] > 0, f_best)
-        return (t_best, idx_best, u_best, v_best, f_best, base + c), None
+        return (t_best, idx_best, base + c), None
 
     init = (jnp.full((r,), pallas_trace.INF, jnp.float32),
-            jnp.full((r,), -1, jnp.int32),
-            jnp.zeros((r,), jnp.float32), jnp.zeros((r,), jnp.float32),
-            jnp.zeros((r,), jnp.bool_), jnp.int32(0))
-    (t_best, idx_best, u_best, v_best, f_best, _), _ = jax.lax.scan(
-        body, init, tri)
+            jnp.full((r,), -1, jnp.int32), jnp.int32(0))
+    (t_best, idx_best, _), _ = jax.lax.scan(body, init, tri)
     missed = idx_best < 0
     return {"t": jnp.where(missed, jnp.float32(pallas_trace.INF), t_best),
-            "tri": idx_best, "u": u_best, "v": v_best, "front": f_best}
+            "tri": idx_best}
 
 
 def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
@@ -84,7 +78,8 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
         if jax.default_backend() == "tpu":
             return pallas_trace.trace_brute_pallas(
                 scene.tri_planes, scene.chunk_aabb, ray_o, ray_d, t_min,
-                t_max, any_hit=any_hit, active=active, reorder=reorder)
+                t_max, any_hit=any_hit, active=active, reorder=reorder,
+                kernel=pallas_trace.KERNEL_MODE)
         return _trace_brute_xla(scene.tri_planes, ray_o, ray_d, t_min, t_max,
                                 active=active)
     return traversal.trace(

@@ -53,15 +53,19 @@ def render_band(scene, camera, frame_count, state, ctx, make_view,
     n_primary = ctx["band_h"] * width
     gb = gbuffer_ops.render_gbuffer(scene, camera, width, height,
                                     y0=ctx["y0"], band_h=ctx["band_h"])
+    # gb + reservoir rows ride ONE BandView so every neighbor tap is a
+    # single wide-row gather (temporal reprojection, spatial disk taps)
+    prev_comb = jnp.concatenate([state["gb"], state["res"]], axis=-1)
     reservoirs_t, rays_t = restir_ops.restir_temporal(
-        scene, gb, make_view(state["gb"]), make_view(state["res"]),
+        scene, gb, make_view(prev_comb),
         camera, frame_count, ctx, static_ok=static_ok)
 
     gb_packed = gbuffer_ops.pack_gb(gb)
     gb_view = make_view(gb_packed)
+    comb_t = jnp.concatenate(
+        [gb_packed, restir_ops.pack_reservoirs(reservoirs_t)], axis=-1)
     reservoirs_s, hdr, rays_s, diag = restir_ops.restir_spatial(
-        scene, gb, gb_view, reservoirs_t,
-        make_view(restir_ops.pack_reservoirs(reservoirs_t)), camera,
+        scene, gb, make_view(comb_t), reservoirs_t, camera,
         frame_count, ctx)
 
     ldr, accum = post_ops.post_process(

@@ -397,6 +397,19 @@ class SceneBuilder:
         from ..ops.pallas_trace import pack_triangles
         tri_planes, chunk_aabb, _ = pack_triangles(world_v0, world_e1, world_e2)
 
+        # widen the shading rows with world v0/e1/e2 (cols 26:35): the
+        # intersector returns only (t, tri) and reconstruct_hit recomputes
+        # exact u/v/front from this one wide gather - keeps ~15% of the
+        # Moller-Trumbore sweep (per-chunk winner attribute selection) out
+        # of the hot Pallas kernel.
+        if t_total > 0:
+            tri_table = np.concatenate(
+                [tri_table, world_v0, world_e1, world_e2], axis=1)
+        else:
+            tri_table = np.concatenate(
+                [tri_table, np.zeros((tri_table.shape[0], 9), np.float32)],
+                axis=1)
+
         # stream row of each triangle's BVH record (for on-device refit)
         bvh_tri_rows = np.zeros((max(t_total, 1),), np.int32)
         tri_rows = np.where(tree.skip < 0)[0]

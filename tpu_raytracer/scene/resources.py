@@ -44,7 +44,8 @@ class CompiledScene:
     chunk_aabb: jax.Array   # [Tp/CT, 8] f32 per-chunk culling boxes
 
     # --- consolidated shading tables (one wide gather per hit; ops/hit.py) ---
-    # tri_table [T, 26]: world n0 n1 n2 (9) | uv0 uv1 uv2 (6) |
+    # tri_table [T, 35]; cols 26:35 = world v0 | e1 | e2 (exact u/v/front
+    # recompute in ops/hit.py). Cols 0:26: world n0 n1 n2 (9) | uv0 uv1 uv2 (6) |
     #                    world t0 t1 t2 (9) | tangent sign | mat_id
     tri_table: jax.Array
     # tri_table in OBJECT space (same layout; world = per-instance transform
