@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 
 def _measure_restir(scene, width, height, warmup, measured, move=False,
-                    refit_transforms=None):
+                    refit_transforms=None, refit_changed=None):
     from tpu_raytracer.ops import refit as refit_ops
     from tpu_raytracer.render import camera as camera_mod
     from tpu_raytracer.render import pipeline, renderer
@@ -45,7 +45,7 @@ def _measure_restir(scene, width, height, warmup, measured, move=False,
             frame_count = 0       # accumulation reset on motion
         if refit_transforms is not None:
             scene = refit_ops.update_instances(
-                scene, refit_transforms(i, scene))
+                scene, refit_transforms(i, scene), changed=refit_changed)
         # replay-dedup eligibility: world unchanged since the last frame
         static_ok = (i > 0) and not move and refit_transforms is None
         uniform = renderer.camera_to_device(
@@ -175,8 +175,10 @@ def config(n: int):
             tf[6] = crystal[:3, :4]
             return jnp.asarray(tf)
 
+        # only the crystal (instance 6) moves - the refit is restricted
+        # to its triangle range (TLAS-update economics, builder.rs:454)
         r = _measure_restir(scene, 1920, 1080, 2, 6, move=True,
-                            refit_transforms=wobble)
+                            refit_transforms=wobble, refit_changed=(6,))
         out = {"config": 4, "fps_1080p_flythrough_refit": round(r["fps"], 3),
                "mrays_per_s": round(r["mrays"], 2)}
     elif n == 5:

@@ -79,6 +79,52 @@ def test_anyhit_matches_closest_occlusion():
         assert not got_hit[~np.asarray(active)].any()
 
 
+def test_early_out_coherent_rays(monkeypatch):
+    """Front-to-back ordered worklists + early termination must be
+    RESULT-INVARIANT: coherent primary-style rays (where whole blocks
+    terminate after the nearest chunks) agree with the exact vpu sweep.
+    Forces the early-out kernel path (normally dense-scene-only)."""
+    monkeypatch.setenv("TPU_RT_EARLY_MIN", "1")
+    rng = np.random.default_rng(11)
+    # layered scene: several z-slabs of triangles so front-to-back order
+    # actually skips the far layers
+    t_per = 160
+    slabs = []
+    for z in (1.0, 3.0, 5.0, 7.0):
+        v0 = rng.standard_normal((t_per, 3)).astype(np.float32)
+        v0[:, 2] = z + 0.1 * v0[:, 2]
+        e1 = rng.standard_normal((t_per, 3)).astype(np.float32) * 0.7
+        e2 = rng.standard_normal((t_per, 3)).astype(np.float32) * 0.7
+        slabs.append((v0, e1, e2))
+    v0 = np.concatenate([s[0] for s in slabs])
+    e1 = np.concatenate([s[1] for s in slabs])
+    e2 = np.concatenate([s[2] for s in slabs])
+    planes, aabb, _ = pallas_trace.pack_triangles(v0, e1, e2)
+    planes, aabb = jnp.asarray(planes), jnp.asarray(aabb)
+
+    r = 1024
+    ro = np.zeros((r, 3), np.float32)
+    ro[:, 0:2] = rng.uniform(-1.5, 1.5, (r, 2))
+    ro[:, 2] = -1.0
+    rd = np.zeros((r, 3), np.float32)
+    rd[:, 2] = 1.0
+    rd[:, 0:2] = rng.uniform(-0.2, 0.2, (r, 2))
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+    active = jnp.asarray(rng.uniform(size=r) > 0.2)
+
+    ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
+                                          kernel="vpu", active=active)
+    out = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
+                                          kernel="mxuf2", active=active)
+    ref_tri = np.asarray(ref["tri"])
+    out_tri = np.asarray(out["tri"])
+    assert ((ref_tri >= 0) == (out_tri >= 0)).mean() > 0.999
+    both = (ref_tri >= 0) & (out_tri >= 0)
+    assert (ref_tri[both] == out_tri[both]).mean() > 0.999
+    assert not (out_tri[~np.asarray(active)] >= 0).any()
+
+
 def test_mxu_coef_identity():
     """phi(ray) @ coef == direct MT terms (f64 check of the derivation)."""
     rng = np.random.default_rng(4)

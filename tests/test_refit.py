@@ -68,6 +68,26 @@ def test_update_instances_matches_fresh_build():
     assert np.isfinite(n0).all()
 
 
+def test_refit_changed_subset_matches_full():
+    """changed=(i,) refit must produce the SAME compiled scene as the
+    full-instance refit when only instance i moved (TLAS-update
+    restriction, builder.rs:454-468)."""
+    scene = _two_box_scene([0.0, -0.5, 0.0])
+    new_tf = np.stack([
+        np.asarray(scene.inst_transform[0]),
+        (translation([0.6, -0.2, 0.3]) @ rotation_y(0.9) @ scale(0.5))[:3, :4],
+        np.asarray(scene.inst_transform[2]),
+    ]).astype(np.float32)
+    full = refit.update_instances(scene, jnp.asarray(new_tf))
+    part = refit.update_instances(scene, jnp.asarray(new_tf), changed=(1,))
+
+    for field in ("tri_planes", "chunk_aabb", "tri_table", "bvh_rec",
+                  "inst_transform", "inst_normal_mat"):
+        a = np.asarray(getattr(full, field))
+        b = np.asarray(getattr(part, field))
+        assert np.allclose(a, b, atol=1e-5), field
+
+
 def test_refit_identity_is_noop():
     scene = scenes.create_cornell_box_diffuse()
     moved = refit.update_instances(scene, scene.inst_transform)

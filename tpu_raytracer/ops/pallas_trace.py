@@ -226,12 +226,23 @@ def _dot48(feat, coef):
         precision=jax.lax.Precision.DEFAULT)
 
 
-def _mt_kernel_mxuf(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
-                    *, num_groups, any_hit, use_worklist=True, grp=2):
+def _mt_kernel_mxuf(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
+                    t_ref, idx_ref, done_ref, *, num_groups, any_hit,
+                    use_worklist=True, grp=2, early=True):
     """Fused-pass MXU MT sweep: the whole 3-pass bf16 product is ONE
     K=48 dot per group of `grp` chunks (columns are chunk-major, so the
     shared ray features need no block-diagonal expansion - unlike
-    `_mt_kernel_mxuw` the extra chunks ride the dot's N dimension)."""
+    `_mt_kernel_mxuw` the extra chunks ride the dot's N dimension).
+
+    Front-to-back EARLY TERMINATION: the worklist arrives sorted by the
+    block's conservative chunk entry distance (entry_ref); once every
+    live lane's best t is closer than the next unit's entry, no
+    remaining unit can improve any lane and the rest of the sweep
+    collapses to a scalar branch (classic ordered-BVH economics without
+    per-ray pointer walks). Dead lanes (t_max <= 0) start at t_best = 0
+    so they never block termination; miss lanes legitimately hold INF
+    and force a full sweep of their block's list.
+    """
     rays = rays_ref[:]
     t_min = rays[6][:, None]
     t_max = rays[7][:, None]
@@ -241,9 +252,7 @@ def _mt_kernel_mxuf(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
     n_live = count_ref[b] if use_worklist else num_groups
     cols = grp * 4 * CT
 
-    def group(i, carry):
-        t_best, idx_best = carry
-        g = list_ref[i, b] if use_worklist else i
+    def sweep_group(g, t_best, idx_best):
         prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
         for k in range(grp):                 # unrolled: VPU tests per chunk
             o = k * 4 * CT
@@ -265,29 +274,52 @@ def _mt_kernel_mxuf(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
             t_new = jnp.min(t_cand, axis=1)
             improved = t_new < t_best
             t_best = jnp.where(improved, t_new, t_best)
-            idx_best = jnp.where(improved, (g * grp + k) * CT + best_lane,
-                                 idx_best)
+            idx_best = jnp.where(improved,
+                                 (g * grp + k) * CT + best_lane, idx_best)
         return t_best, idx_best
 
-    init = (jnp.full((BR,), INF, jnp.float32), jnp.full((BR,), -1, jnp.int32))
-    t_best, idx_best = jax.lax.fori_loop(0, n_live, group, init)
-    t_ref[0, :] = t_best
-    idx_ref[0, :] = idx_best
+    if not early:
+        # small scenes: plain carry loop (no ref round-trips, no flag)
+        def group(i, carry):
+            g = list_ref[i, b] if use_worklist else i
+            return sweep_group(g, *carry)
+
+        init = (jnp.full((BR,), INF, jnp.float32),
+                jnp.full((BR,), -1, jnp.int32))
+        t_best, idx_best = jax.lax.fori_loop(0, n_live, group, init)
+        t_ref[0, :] = t_best
+        idx_ref[0, :] = idx_best
+        return
+
+    live0 = rays[7] > 0.0
+    t_ref[0, :] = jnp.where(live0, INF, 0.0)
+    idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
+    done_ref[0] = jnp.int32(0)
+
+    def group(i, carry):
+        @pl.when(done_ref[0] == 0)
+        def _():
+            t_best, idx_best = sweep_group(
+                list_ref[i, b], t_ref[0, :], idx_ref[0, :])
+            t_ref[0, :] = t_best
+            idx_ref[0, :] = idx_best
+            nxt = entry_ref[jnp.minimum(i + 1, num_groups - 1), b]
+            done_ref[0] = (jnp.max(t_best) < nxt).astype(jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
 
 
-def _mt_kernel_any(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
-                   *, num_groups, use_worklist=True, grp=2):
+def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
+                   t_ref, idx_ref, done_ref, *, num_groups,
+                   use_worklist=True, grp=2, early=True):
     """Any-hit (occlusion) sweep (restir.wgsl:375-381, flag 0x4
     terminate-on-first-hit economics): division-free window tests, no
     argmin-t / winner selection - an occlusion query only needs a
     per-lane hit flag, so the whole selection half of the closest-hit
-    kernel disappears. Early-out comes from upstream instead: shadow
-    t_max <= light distance shrinks the chunk worklists in the slab
-    pre-pass, and dead blocks (count 0) skip the sweep entirely.
-
-    (A previous version also carried an in-kernel SMEM done flag under
-    `pl.when`; it miscompiled on Mosaic - interpreter-exact, ~0.05%
-    wrong on chip - so the accumulator is a plain fori_loop carry now.)
+    kernel disappears. The worklist arrives front-to-back sorted, so
+    near occluders are found first; once every live lane is occluded
+    the remaining units collapse to a scalar branch.
 
     Outputs: idx = 1 where occluded else -1; t = t_max (unused).
     """
@@ -295,13 +327,15 @@ def _mt_kernel_any(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
     t_min = rays[6][:, None]
     t_max = rays[7][:, None]
     feat = _feat48(rays)
+    inactive = jnp.where(rays[7] <= 0.0, 1.0, 0.0)     # [BR]
 
     b = pl.program_id(0)
     n_live = count_ref[b] if use_worklist else num_groups
     cols = grp * 4 * CT
 
-    def body(i, hit_acc):
-        g = list_ref[i, b] if use_worklist else i
+    t_ref[0, :] = rays[7]
+
+    def sweep_group(g, hit_acc):
         prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
         for k in range(grp):
             o = k * 4 * CT
@@ -321,14 +355,34 @@ def _mt_kernel_any(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
                 hit_acc, jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
         return hit_acc
 
-    hit_acc = jax.lax.fori_loop(0, n_live, body,
-                                jnp.zeros((BR,), jnp.float32))
-    t_ref[0, :] = rays[7]
-    idx_ref[0, :] = jnp.where(hit_acc > 0.0, 1, -1).astype(jnp.int32)
+    if not early:
+        def body(i, hit_acc):
+            g = list_ref[i, b] if use_worklist else i
+            return sweep_group(g, hit_acc)
+
+        hit_acc = jax.lax.fori_loop(0, n_live, body,
+                                    jnp.zeros((BR,), jnp.float32))
+        idx_ref[0, :] = jnp.where(hit_acc > 0.0, 1, -1).astype(jnp.int32)
+        return
+
+    idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
+    done_ref[0] = jnp.int32(0)
+
+    def body(i, carry):
+        @pl.when(done_ref[0] == 0)
+        def _():
+            prev = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
+            found = sweep_group(list_ref[i, b], prev)
+            idx_ref[0, :] = jnp.where(found > 0.0, 1, -1).astype(jnp.int32)
+            all_done = jnp.min(jnp.maximum(found, inactive)) > 0.0
+            done_ref[0] = all_done.astype(jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(0, n_live, body, jnp.int32(0))
 
 
-def _mt_kernel_mxuw(count_ref, list_ref, rays_ref, coef_ref, mask_ref,
-                    t_ref, idx_ref, *, num_groups, any_hit,
+def _mt_kernel_mxuw(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
+                    mask_ref, t_ref, idx_ref, *, num_groups, any_hit,
                     use_worklist=True, passes=3, grp=GROUP):
     """Wide MXU MT sweep: GROUP chunks per K=128 block-diagonal dot.
 
@@ -432,8 +486,9 @@ def _split_bf16_kernel(x):
     return hi, lo
 
 
-def _mt_kernel_mxu(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
-                   *, num_chunks, any_hit, use_worklist=True, passes=3):
+def _mt_kernel_mxu(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
+                   t_ref, idx_ref, *, num_chunks, any_hit,
+                   use_worklist=True, passes=3):
     """Blocked MT sweep with the per-(ray,tri) algebra on the MXU.
 
     Each chunk step is one [BR,16] @ [16,4*CT] matmul (bf16, `passes`-way
@@ -502,8 +557,8 @@ def _mt_kernel_mxu(count_ref, list_ref, rays_ref, coef_ref, t_ref, idx_ref,
     idx_ref[0, :] = idx_best
 
 
-def _mt_kernel(count_ref, list_ref, rays_ref, tri_ref, t_ref, idx_ref,
-               *, num_chunks, any_hit, use_worklist=True):
+def _mt_kernel(count_ref, list_ref, entry_ref, rays_ref, tri_ref, t_ref,
+               idx_ref, *, num_chunks, any_hit, use_worklist=True):
     rays = rays_ref[:]                      # [8, BR]
     ox, oy, oz = rays[0], rays[1], rays[2]  # [BR]
     dx, dy, dz = rays[3], rays[4], rays[5]
@@ -635,9 +690,18 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     t_entry = jnp.maximum(jnp.max(jnp.minimum(a, bb), axis=-1), tmin_b)
     t_exit = jnp.minimum(jnp.min(jnp.maximum(a, bb), axis=-1), tmax_b)
     ray_hit = (t_entry <= t_exit) & (tmax_b > 0.0)        # [nb, BR, NC]
-    block_hit = ray_hit.any(axis=1)                        # [nb, NC]
+    # conservative per-block entry distance: min over live rays (INF =
+    # no ray touches the chunk). Doubles as the hit mask AND the
+    # front-to-back sort key for the worklist (BVH-style ordered
+    # traversal economics without per-ray walks).
+    e_blk = jnp.where(ray_hit, t_entry, INF).min(axis=1)   # [nb, NC]
 
     mode = kernel
+    if mode == "mxuf2" and num_chunks > 48:
+        # dense scenes want wide dots (fewer loop steps; bunny: 110 ms
+        # at grp 2 vs 35 ms at grp 8, scripts/ucb_kern.py --bunny); small
+        # scenes want fine cull granularity
+        mode = "mxuf8"
     if any_hit and not mode.startswith("vpu") \
             and os.environ.get("TPU_RT_ANYHIT", "1") != "0":
         # occlusion queries take the early-out kernel (same group width
@@ -657,28 +721,39 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
         ng = (num_chunks + grp - 1) // grp
         pad = ng * grp - num_chunks
         if pad:
-            block_hit = jnp.concatenate(
-                [block_hit, jnp.zeros((nb, pad), jnp.bool_)], axis=1)
-        block_hit = block_hit.reshape(nb, ng, grp).any(axis=2)  # [nb, NG]
-    counts = block_hit.sum(axis=1).astype(jnp.int32)       # [nb]
-    # stable argsort puts hit unit ids (ascending) first; stored [U, nb]
-    chunk_list = jnp.argsort(~block_hit, axis=1, stable=True
-                             ).astype(jnp.int32).T
+            e_blk = jnp.concatenate(
+                [e_blk, jnp.full((nb, pad), INF, jnp.float32)], axis=1)
+        e_blk = e_blk.reshape(nb, ng, grp).min(axis=2)     # [nb, NG]
+    counts = (e_blk < INF).sum(axis=1).astype(jnp.int32)   # [nb]
+    # worklist sorted front-to-back (INF = unhit units sort last; count
+    # excludes them); stored [U, nb]
+    order = jnp.argsort(e_blk, axis=1, stable=True)
+    chunk_list = order.astype(jnp.int32).T
+    entry_list = jnp.take_along_axis(e_blk, order, axis=1).T
 
-    return _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb,
-                       num_chunks, tp, any_hit, dest=dest, mode=mode)
+    return _run_kernel(rays, tri_planes, counts, chunk_list, entry_list,
+                       r, rp, nb, num_chunks, tp, any_hit, dest=dest,
+                       mode=mode)
 
 
-def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
-                tp, any_hit, dest=None, mode=KERNEL_MODE):
+def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
+                num_chunks, tp, any_hit, dest=None, mode=KERNEL_MODE):
     # SMEM pads the minor dim to 128; when worklists would blow the ~1MB
     # SMEM budget (huge frame x huge scene) the kernel sweeps all chunks
     # and ignores the (dummy) list.
     num_units = chunk_list.shape[0]       # chunks, or GROUP-chunk groups
     nb_pad = ((nb + 127) // 128) * 128
-    use_worklist = num_units * nb_pad * 4 <= 512 * 1024
+    use_worklist = num_units * nb_pad * 8 <= 512 * 1024
     if not use_worklist:
         chunk_list = jnp.zeros((1, nb), jnp.int32)
+        entry_list = jnp.zeros((1, nb), jnp.float32)
+    # front-to-back early termination: the per-step flag check + ref
+    # round-trips cost ~30% per unit even when it never fires
+    # (ucb_kern --bunny random rays), so it only pays when worklists are
+    # LONG enough that coherent blocks can skip most of theirs
+    early = (use_worklist
+             and num_units >= int(os.environ.get("TPU_RT_EARLY_MIN", "64"))
+             and os.environ.get("TPU_RT_EARLY", "1") != "0")
     extra_args = ()
     extra_specs = []
     scratch_shapes = []
@@ -687,17 +762,19 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
         tri_arg = mt_coef48(tri_planes, group=grp)
         tri_spec = pl.BlockSpec(tri_arg.shape, lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)
+        scratch_shapes = [pltpu.SMEM((1,), jnp.int32)]
         kernel = functools.partial(
             _mt_kernel_any, num_groups=num_units,
-            use_worklist=use_worklist, grp=grp)
+            use_worklist=use_worklist, grp=grp, early=early)
     elif mode.startswith("mxuf"):
         grp = _mode_grp(mode)
         tri_arg = mt_coef48(tri_planes, group=grp)
         tri_spec = pl.BlockSpec(tri_arg.shape, lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)
+        scratch_shapes = [pltpu.SMEM((1,), jnp.int32)]
         kernel = functools.partial(
             _mt_kernel_mxuf, num_groups=num_units, any_hit=any_hit,
-            use_worklist=use_worklist, grp=grp)
+            use_worklist=use_worklist, grp=grp, early=early)
     elif mode.startswith("mxuw"):
         grp = int(mode[4:]) if len(mode) > 4 else GROUP
         tri_arg = mt_coef_device(tri_planes, wide=True, group=grp)
@@ -734,6 +811,8 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
             pl.BlockSpec((nb,), lambda b: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((num_units if use_worklist else 1, nb),
                          lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_units if use_worklist else 1, nb),
+                         lambda b: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
             tri_spec,
             *extra_specs,
@@ -747,7 +826,7 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, r, rp, nb, num_chunks,
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
         ],
         scratch_shapes=scratch_shapes,
-    )(counts, chunk_list, rays, tri_arg, *extra_args)
+    )(counts, chunk_list, entry_list, rays, tri_arg, *extra_args)
 
     if dest is not None:
         # undo the ray permutation with ONE wide-row gather (tri id rides

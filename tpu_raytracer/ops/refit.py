@@ -36,12 +36,21 @@ def _affine(transforms):
     return a, t, nm
 
 
-def update_instances(scene, transforms):
+def update_instances(scene, transforms, changed=None):
     """Return a new CompiledScene with instances moved to `transforms`.
 
     transforms: [I, 3, 4] or [I, 4, 4] object->world affines (all
     instances; pass scene.inst_transform rows for unchanged ones).
+
+    changed: optional STATIC tuple of instance ids that actually moved
+    (builder.rs:454-468 updates the whole TLAS; restricting the refit to
+    the moved instances' triangle ranges makes per-frame cost scale with
+    moved geometry, not scene size - the triangle indices are resolved
+    host-side once per `changed` set, so everything stays static-shaped
+    under jit). With changed=None every instance is re-transformed.
     """
+    if changed is not None:
+        return _update_changed(scene, transforms, tuple(sorted(changed)))
     a, t, nm = _affine(transforms)
     inst = scene.tri_inst                      # [T]
     a_t = a[inst]                              # [T, 3, 3]
@@ -110,6 +119,97 @@ def update_instances(scene, transforms):
         bvh_rec=rec,
         inst_transform=jnp.asarray(transforms, jnp.float32)[:, :3, :4],
         inst_normal_mat=nm,
+    )
+
+
+_CHANGED_CACHE: dict = {}
+
+
+def _update_changed(scene, transforms, changed):
+    """Refit restricted to `changed` instances' triangle ranges.
+
+    Host-resolves the static triangle/row index sets once per
+    (scene, changed) pair; per-frame device work is then
+    O(moved triangles) einsums + O(T) elementwise box reductions
+    (the latter are trivial next to the transforms)."""
+    import numpy as np
+
+    if not changed:
+        return scene
+    key = (id(scene.tri_inst), changed)
+    if key not in _CHANGED_CACHE:
+        inst_h = np.asarray(scene.tri_inst)
+        sel_np = np.where(np.isin(inst_h, np.asarray(changed)))[0]
+        sel_np = sel_np.astype(np.int32)
+        remap = np.zeros(max(int(inst_h.max(initial=0)) + 1, 1), np.int32)
+        for j, ci in enumerate(changed):
+            remap[ci] = j
+        _CHANGED_CACHE[key] = (
+            jnp.asarray(sel_np),
+            jnp.asarray(np.asarray(scene.tri_local)[sel_np]),
+            jnp.asarray(remap[inst_h[sel_np]]),
+            jnp.asarray(np.asarray(scene.bvh_tri_rows)[sel_np]),
+        )
+    sel, local, sub_inst, rows = _CHANGED_CACHE[key]
+
+    tf_all = jnp.asarray(transforms, jnp.float32)
+    tf = tf_all[jnp.asarray(changed)]
+    a, t, nm = _affine(tf)
+    a_t, t_t, nm_t = a[sub_inst], t[sub_inst], nm[sub_inst]
+    lv0 = scene.local_v0[local]
+    le1 = scene.local_e1[local]
+    le2 = scene.local_e2[local]
+    wv0 = jnp.einsum("tij,tj->ti", a_t, lv0) + t_t      # [S, 3]
+    we1 = jnp.einsum("tij,tj->ti", a_t, le1)
+    we2 = jnp.einsum("tij,tj->ti", a_t, le2)
+
+    planes = scene.tri_planes
+    planes = planes.at[0, :, sel].set(wv0)
+    planes = planes.at[1, :, sel].set(we1)
+    planes = planes.at[2, :, sel].set(we2)
+
+    # box reductions over the UPDATED planes (cheap elementwise O(Tp))
+    v0 = planes[0].T
+    v1 = v0 + planes[1].T
+    v2 = v0 + planes[2].T
+    valid = (planes[3, 0] > 0.5)[:, None]
+    big = jnp.float32(3.0e38)
+    mn = jnp.where(valid, jnp.minimum(jnp.minimum(v0, v1), v2), big)
+    mx = jnp.where(valid, jnp.maximum(jnp.maximum(v0, v1), v2), -big)
+    chunk_aabb = scene.chunk_aabb
+    chunk_aabb = chunk_aabb.at[:, 0:3].set(mn.reshape(-1, CT, 3).min(axis=1))
+    chunk_aabb = chunk_aabb.at[:, 3:6].set(mx.reshape(-1, CT, 3).max(axis=1))
+
+    tl_sel = scene.tri_table_local[sel]
+    tri_table = scene.tri_table
+    for k in range(3):
+        n_w = jnp.einsum("tij,tj->ti", nm_t, tl_sel[:, k * 3:k * 3 + 3])
+        t_w = jnp.einsum("tij,tj->ti", nm_t,
+                         tl_sel[:, 15 + k * 3:18 + k * 3])
+        tri_table = tri_table.at[sel, k * 3:k * 3 + 3].set(n_w)
+        tri_table = tri_table.at[sel, 15 + k * 3:18 + k * 3].set(t_w)
+    tri_table = tri_table.at[sel, 26:29].set(wv0)
+    tri_table = tri_table.at[sel, 29:32].set(we1)
+    tri_table = tri_table.at[sel, 32:35].set(we2)
+
+    rec = scene.bvh_rec
+    rec = rec.at[rows, 0:3].set(wv0)
+    rec = rec.at[rows, 3:6].set(we1)
+    rec = rec.at[rows, 6:9].set(we2)
+    t_count = scene.tri_inst.shape[0]
+    rec = _refit_boxes(scene, rec, mn[:t_count], mx[:t_count])
+
+    ch = jnp.asarray(changed)
+    inst_tf = scene.inst_transform.at[ch].set(tf[:, :3, :4])
+    inst_nm = scene.inst_normal_mat.at[ch].set(nm)
+    return dataclasses.replace(
+        scene,
+        tri_planes=planes,
+        chunk_aabb=chunk_aabb,
+        tri_table=tri_table,
+        bvh_rec=rec,
+        inst_transform=inst_tf,
+        inst_normal_mat=inst_nm,
     )
 
 
