@@ -88,6 +88,46 @@ def test_refit_changed_subset_matches_full():
         assert np.allclose(a, b, atol=1e-5), field
 
 
+def test_refit_repack_preserves_trace():
+    """repack=True (Morton re-sort, the full-rebuild TLAS mode analog)
+    must not change ANY trace result - brute path AND the unified-stream
+    BVH path (whose tri-id mapping must follow the permutation)."""
+    scene = _two_box_scene([0.0, -0.5, 0.0])
+    new_tf = np.stack([
+        np.asarray(scene.inst_transform[0]),
+        (translation([0.9, -0.1, 0.6]) @ rotation_y(1.3) @ scale(0.5))[:3, :4],
+        np.asarray(scene.inst_transform[2]),
+    ]).astype(np.float32)
+    plain = refit.update_instances(scene, jnp.asarray(new_tf))
+    packed = refit.update_instances(scene, jnp.asarray(new_tf), repack=True)
+
+    ro, rd = _rays()
+    want = trace_api.scene_trace(plain, ro, rd, 1e-3, 100.0)
+    got = trace_api.scene_trace(packed, ro, rd, 1e-3, 100.0)
+    hit_w = np.asarray(want["tri"]) >= 0
+    assert ((np.asarray(got["tri"]) >= 0) == hit_w).all()
+    assert np.abs(np.where(hit_w, np.asarray(got["t"]) -
+                           np.asarray(want["t"]), 0)).max() < 1e-4
+    # shading row of the winner must be the SAME triangle's data
+    lane = int(np.argmax(hit_w))
+    row_w = np.asarray(plain.tri_table)[int(np.asarray(want["tri"])[lane])]
+    row_g = np.asarray(packed.tri_table)[int(np.asarray(got["tri"])[lane])]
+    assert np.allclose(row_w, row_g, atol=1e-5)
+
+    got_bvh = traversal.trace(packed.bvh_rec, packed.bvh_skip,
+                              packed.bvh_tri, ro, rd, 1e-3, 100.0)
+    assert ((np.asarray(got_bvh["tri"]) >= 0) == hit_w).all()
+    # BVH path returns ids in the packed order; winner row must match
+    row_b = np.asarray(packed.tri_table)[
+        int(np.asarray(got_bvh["tri"])[lane])]
+    assert np.allclose(row_w, row_b, atol=1e-5)
+    # refit AFTER a repack still works (tri_local/bvh_tri_rows followed)
+    again = refit.update_instances(packed, jnp.asarray(new_tf))
+    got2 = trace_api.scene_trace(again, ro, rd, 1e-3, 100.0)
+    assert np.abs(np.where(hit_w, np.asarray(got2["t"]) -
+                           np.asarray(want["t"]), 0)).max() < 1e-4
+
+
 def test_refit_identity_is_noop():
     scene = scenes.create_cornell_box_diffuse()
     moved = refit.update_instances(scene, scene.inst_transform)

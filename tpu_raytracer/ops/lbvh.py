@@ -194,6 +194,14 @@ def morton_reorder(scene):
     chunk_aabb = chunk_aabb.at[:, 0:3].set(mn_p.reshape(-1, CT, 3).min(axis=1))
     chunk_aabb = chunk_aabb.at[:, 3:6].set(mx_p.reshape(-1, CT, 3).max(axis=1))
 
+    # keep the unified-stream BVH consistent with the new triangle ids:
+    # leaf-tri rows reference tri ids (bvh_tri) and refit scatters by
+    # tri -> row (bvh_tri_rows); both must follow the permutation.
+    inv = jnp.argsort(order).astype(jnp.int32)
+    is_tri = scene.bvh_skip < 0
+    bvh_tri = jnp.where(is_tri, inv[jnp.maximum(scene.bvh_tri, 0)],
+                        scene.bvh_tri)
+
     return dataclasses.replace(
         scene,
         tri_planes=planes,
@@ -203,4 +211,6 @@ def morton_reorder(scene):
         tri_inst=scene.tri_inst[order],
         tri_prim=scene.tri_prim[order],
         tri_local=scene.tri_local[order],
+        bvh_tri=bvh_tri,
+        bvh_tri_rows=scene.bvh_tri_rows[order],
     )

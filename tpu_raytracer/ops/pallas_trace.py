@@ -43,7 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF = 3.0e38
 
-BR = 256      # rays per block (sublane-major)
+# Rays per block (= grid programs = rp/BR). Profiler: each program
+# carries ~10 us of fixed cost (DMA waits + sub-128-lane feat
+# relayouts), so a 262k-ray sweep pays a ~10 ms floor at BR=256 even
+# with every lane dead; fatter blocks amortize it. VMEM bound: the
+# [BR, 4*CT*grp] f32 window-test intermediates.
+BR = int(os.environ.get("TPU_RT_BR", "512"))
 CT = 128      # triangles per inner chunk (lane-major) = cull granularity
 _MT_EPS = 1e-9
 
@@ -204,8 +209,13 @@ def mt_coef48(tri_planes, group: int = 1):
 
 
 def _feat48(rays):
-    """Rays [8, BR] -> fused bf16 feature matrix [BR, 48] =
-    [f_hi | f_hi | f_lo] (pairs with mt_coef48's row blocks)."""
+    """Rays [8, BR] -> fused bf16 feature matrix [48, BR] =
+    [f_hi ; f_hi ; f_lo] stacked along the MAJOR (sublane) dim - every
+    row is a full-lane [BR] vector, so the stack/split/concat are cheap
+    sublane writes. (The earlier [BR, 48] minor-dim layout cost ~3.3 ms
+    per 262k-ray call in Mosaic relayouts - BR-invariant, i.e. per
+    element - and dominated dead sweeps; PERF.md.) Pairs with
+    mt_coef48's row blocks via a dim-0 contraction in `_dot48`."""
     ox, oy, oz = rays[0], rays[1], rays[2]
     dx, dy, dz = rays[3], rays[4], rays[5]
     one = jnp.ones_like(ox)
@@ -214,14 +224,15 @@ def _feat48(rays):
         oy * dx, oy * dy, oy * dz,
         oz * dx, oz * dy, oz * dz,
         dx, dy, dz, ox, oy, oz, one,
-    ], axis=1)                                        # [BR, 16]
+    ], axis=0)                                        # [16, BR]
     f_hi, f_lo = _split_bf16_kernel(feat)
-    return jnp.concatenate([f_hi, f_hi, f_lo], axis=1)
+    return jnp.concatenate([f_hi, f_hi, f_lo], axis=0)
 
 
-def _dot48(feat, coef):
+def _dot48(feat_t, coef):
+    """[48, BR] x [48, N] -> [BR, N] (contract dim 0 of both)."""
     return jax.lax.dot_general(
-        feat, coef, (((1,), (0,)), ((), ())),
+        feat_t, coef, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT)
 
@@ -379,6 +390,105 @@ def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
         return carry
 
     jax.lax.fori_loop(0, n_live, body, jnp.int32(0))
+
+
+def _mt_kernel_mxui(rays_ref, aabb_ref, coef_ref, t_ref, idx_ref, *,
+                    num_chunks, any_hit, grp=2):
+    """Fused-pass MXU sweep with IN-KERNEL chunk culling: each chunk
+    group is slab-tested against the block's rays ([BR] lanes, ~1/128th
+    of the group's MT cost) and swept under a `pl.when` scalar guard.
+
+    Replaces the XLA worklist prepass entirely for small scenes - the
+    prepass glue (slab fusion + argsort + take_along_axis + SMEM
+    worklists) costs ~3 ms per 524k-ray traversal call at 512^2, most of
+    it NOT the tests themselves (PERF.md). No front-to-back ordering /
+    early-out: reserved for the worklist path on dense scenes.
+
+    aabb_ref: [NG, 8] group AABBs in SMEM (grp chunks unioned).
+    """
+    rays = rays_ref[:]
+    t_min = rays[6][:, None]
+    t_max = rays[7][:, None]
+    feat = _feat48(rays)
+    ox, oy, oz = rays[0], rays[1], rays[2]
+    inv_x = 1.0 / _nonzero(rays[3])
+    inv_y = 1.0 / _nonzero(rays[4])
+    inv_z = 1.0 / _nonzero(rays[5])
+    live = rays[7] > 0.0
+
+    cols = grp * 4 * CT
+
+    def slab_any(g):
+        """Does ANY live lane's [t_min, t_max] segment cross group g's
+        box? ([BR] VPU ops + one scalar reduce.)"""
+        ax = (aabb_ref[g, 0] - ox) * inv_x
+        bx = (aabb_ref[g, 3] - ox) * inv_x
+        ay = (aabb_ref[g, 1] - oy) * inv_y
+        by = (aabb_ref[g, 4] - oy) * inv_y
+        az = (aabb_ref[g, 2] - oz) * inv_z
+        bz = (aabb_ref[g, 5] - oz) * inv_z
+        t_in = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+            jnp.maximum(jnp.minimum(az, bz), rays[6]))
+        t_out = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+            jnp.minimum(jnp.maximum(az, bz), rays[7]))
+        hit = (t_in <= t_out) & live
+        return jnp.max(jnp.where(hit, 1.0, 0.0)) > 0.0
+
+    def sweep(g, t_best, idx_best):
+        prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
+        for k in range(grp):
+            o = k * 4 * CT
+            det = prod[:, o:o + CT]
+            u_n = prod[:, o + CT:o + 2 * CT]
+            v_n = prod[:, o + 2 * CT:o + 3 * CT]
+            t_n = prod[:, o + 3 * CT:o + 4 * CT]
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            d_abs = det * sgn
+            ok = d_abs > _MT_EPS
+            u2 = u_n * sgn
+            v2 = v_n * sgn
+            if any_hit:
+                tn2 = t_n * sgn
+                hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+                       & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
+                t_best = jnp.minimum(
+                    t_best,
+                    jnp.min(jnp.where(hit, 0.0, INF), axis=1))
+                idx_best = jnp.where(t_best < INF, 1, idx_best)
+            else:
+                t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+                hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+                       & (t_val > t_min) & (t_val < t_max)
+                       & (t_val < t_best[:, None]))
+                t_cand = jnp.where(hit, t_val, INF)
+                best_lane = jnp.argmin(t_cand, axis=1)
+                t_new = jnp.min(t_cand, axis=1)
+                improved = t_new < t_best
+                t_best = jnp.where(improved, t_new, t_best)
+                idx_best = jnp.where(improved,
+                                     (g * grp + k) * CT + best_lane,
+                                     idx_best)
+        return t_best, idx_best
+
+    ng = (num_chunks + grp - 1) // grp
+    t_ref[0, :] = jnp.full((BR,), INF, jnp.float32)
+    idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
+
+    def body(i, carry):
+        @pl.when(slab_any(i))
+        def _():
+            t_best, idx_best = sweep(i, t_ref[0, :], idx_ref[0, :])
+            t_ref[0, :] = t_best
+            idx_ref[0, :] = idx_best
+        return carry
+
+    jax.lax.fori_loop(0, ng, body, jnp.int32(0))
+
+
+def _nonzero(d, eps=1e-12):
+    return jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
 
 
 def _mt_kernel_mxuw(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
@@ -672,6 +782,63 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
             src, dest, _ = compaction.partition_live(live)
         rows = rows[src]
     rays = rows.T
+
+    # EXPERIMENT (default OFF - regressed 7.7 -> 5.3 Mrays/s): cull
+    # INSIDE the kernel (slab-guarded groups) instead of the XLA worklist
+    # prepass. The per-group scalar reduce + pl.when branch machinery
+    # costs more than the ~3 ms/call of prepass glue it saves; kept for
+    # the record + future Mosaic toolchains.
+    if (kernel.startswith("mxuf") and dest is None
+            and num_chunks <= 64 and tp <= MXUF_MAX_TP
+            and os.environ.get("TPU_RT_INCULL", "0") != "0"):
+        grp = 2 if num_chunks <= 48 else 8
+        ng = (num_chunks + grp - 1) // grp
+        pad = ng * grp - num_chunks
+        ca = chunk_aabb
+        if pad:
+            empty = jnp.concatenate(
+                [jnp.full((pad, 3), INF, jnp.float32),
+                 jnp.full((pad, 3), -INF, jnp.float32),
+                 jnp.zeros((pad, 2), jnp.float32)], axis=1)
+            ca = jnp.concatenate([ca, empty], axis=0)
+        ca = ca.reshape(ng, grp, 8)
+        gaabb = jnp.concatenate(
+            [ca[:, :, 0:3].min(axis=1), ca[:, :, 3:6].max(axis=1),
+             jnp.zeros((ng, 2), jnp.float32)], axis=1)      # [NG, 8]
+        coef = mt_coef48(tri_planes, group=grp)
+        nb = rp // BR
+        kern = functools.partial(
+            _mt_kernel_mxui, num_chunks=num_chunks, any_hit=any_hit,
+            grp=grp)
+        interpret = jax.default_backend() != "tpu"
+        t, idx = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((8, BR), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ng, 8), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(coef.shape, lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BR), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BR), lambda b: (0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, rp), jnp.float32),
+                jax.ShapeDtypeStruct((1, rp), jnp.int32),
+            ],
+        )(rays, gaabb, coef)
+        missed = idx[0, :r] < 0
+        return {
+            "t": jnp.where(missed, jnp.float32(INF), t[0, :r]),
+            "tri": idx[0, :r],
+        }
 
     # --- block-level chunk culling (cheap XLA pre-pass) ---
     # per-ray slab tests against every chunk AABB, OR-reduced per block,

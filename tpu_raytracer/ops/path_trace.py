@@ -32,7 +32,7 @@ from . import lights as light_ops
 from . import textures
 from .hit import (apply_normal_map, gather_light, gather_material,
                   reconstruct_hit)
-from .trace_api import scene_occluded, scene_trace
+from .trace_api import scene_trace
 
 MAX_DEPTH = 8          # restir.wgsl:5
 RR_START_DEPTH = 3     # restir.wgsl:593
@@ -40,17 +40,27 @@ T_MIN = 1e-3
 T_MAX = 100.0          # restir.wgsl:605
 
 
-def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights,
-         reorder="none"):
-    """One NEE sample with MIS (restir.wgsl:554-575 / 702-724).
+def _nee_draw(scene, state, active, pos, ffnormal, wo, mat, base_color,
+              num_lights):
+    """NEE sampling with MIS, WITHOUT the shadow trace
+    (restir.wgsl:554-575 / 702-724): consumes up to 3 draws per active
+    lane (light pick + 2 area sample) and returns the shadow ray + the
+    untested contribution, so the caller can BATCH the shadow trace with
+    the next bounce trace in one traversal call (each Pallas sweep
+    carries a fixed ~3.5 ms floor at 512^2 - halving the call count per
+    depth is worth more than any per-test optimization; PERF.md).
 
-    Consumes up to 3 draws per active lane (light pick + 2 area sample).
-    Returns (state, contribution [R,3]) - already shadow-tested, NOT yet
-    multiplied by throughput.
+    Returns (state, ray, pre): ray = dict(origin, dir, t_max, active);
+    pre = dict(contrib [R,3], shadow_active [R], n_rays).
     """
     r = pos.shape[0]
     if num_lights == 0:
-        return state, jnp.zeros((r, 3), jnp.float32), jnp.float32(0.0)
+        z3 = jnp.zeros((r, 3), jnp.float32)
+        ray = dict(origin=pos, dir=z3, t_max=jnp.zeros((r,), jnp.float32),
+                   active=jnp.zeros((r,), jnp.bool_))
+        return state, ray, dict(contrib=z3,
+                                shadow_active=ray["active"],
+                                n_rays=jnp.float32(0.0))
 
     state, r_pick = rng.rand_if(state, active)
     light_idx = jnp.floor(r_pick * num_lights).astype(jnp.int32)
@@ -76,13 +86,7 @@ def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights,
     n_dot_l = jnp.maximum(math3d.dot(ffnormal, l_dir), 0.0)
     l_dot_n = jnp.maximum(math3d.dot(-l_dir, ls["normal"]), 0.0)
     geo_ok = (n_dot_l > 0.0) & (l_dot_n > 0.0)
-
     shadow_active = smp_mask & geo_ok
-    blocked = scene_occluded(
-        scene, offset_pos, l_dir, T_MIN, jnp.maximum(dist * 0.999, 0.0),
-        active=shadow_active, reorder=reorder,
-    )
-    visible = shadow_active & ~blocked
 
     f = bsdf_ops.eval_bsdf(ffnormal, l_dir, wo, mat, base_color)
     g = (n_dot_l * l_dot_n) / jnp.maximum(dist * dist, 1e-12)
@@ -90,8 +94,37 @@ def _nee(scene, state, active, pos, ffnormal, wo, mat, base_color, num_lights,
         ls["emission"][:, :3] * ls["emission"][:, 3:4]
         * f * (g * weight)[:, None]
     )
-    n_rays = jnp.sum(shadow_active.astype(jnp.float32))
-    return state, jnp.where(visible[:, None], contrib, 0.0), n_rays
+    ray = dict(origin=offset_pos, dir=l_dir,
+               t_max=jnp.maximum(dist * 0.999, 0.0), active=shadow_active)
+    return state, ray, dict(
+        contrib=contrib, shadow_active=shadow_active,
+        n_rays=jnp.sum(shadow_active.astype(jnp.float32)))
+
+
+def _nee_apply(pre, blocked):
+    visible = pre["shadow_active"] & ~blocked
+    return jnp.where(visible[:, None], pre["contrib"], 0.0)
+
+
+def _dual_trace(scene, s_ray, b_origin, b_dir, b_active, num_lights,
+                reorder="none"):
+    """ONE traversal call for [this depth's NEE shadow rays | the next
+    depth's bounce rays] - closest-hit for both (a windowed closest hit
+    answers occlusion exactly). Returns (blocked [R], bounce res)."""
+    r = b_origin.shape[0]
+    if num_lights == 0:
+        res = scene_trace(scene, b_origin, b_dir, T_MIN, T_MAX,
+                          active=b_active, reorder=reorder)
+        return jnp.zeros((r,), jnp.bool_), res
+    o = jnp.concatenate([s_ray["origin"], b_origin], axis=0)
+    d = jnp.concatenate([s_ray["dir"], b_dir], axis=0)
+    t_max = jnp.concatenate(
+        [s_ray["t_max"], jnp.full((r,), T_MAX, jnp.float32)], axis=0)
+    act = jnp.concatenate([s_ray["active"], b_active], axis=0)
+    res = scene_trace(scene, o, d, T_MIN, t_max, active=act,
+                      reorder=reorder)
+    blocked = res["tri"][:r] >= 0
+    return blocked, {k: v[r:] for k, v in res.items()}
 
 
 def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
@@ -159,16 +192,15 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
     is_light_px = active & (mat["light_index"] >= 0)
     active = active & ~is_light_px
 
-    # --- primary NEE (restir.wgsl:554-575) ---
+    # --- primary NEE draws (restir.wgsl:554-575; trace batched below) ---
     is_glass_primary = mat["transmission"] > 0.01
     is_specular0 = is_glass_primary | (mat["roughness"] < 0.05)
     nee_mask = active & ~is_specular0
-    state, direct, nee_rays = _nee(scene, state, nee_mask, pos, ffnormal, wo,
-                                   mat, base_color, num_lights,
-                                   reorder=reorder)
-    ray_count = nee_rays
-    accumulated = accumulated + jnp.where(nee_mask[:, None], direct, 0.0) * throughput
+    state, s_ray, s_pre = _nee_draw(scene, state, nee_mask, pos, ffnormal,
+                                    wo, mat, base_color, num_lights)
+    ray_count = s_pre["n_rays"]
     previous_was_diffuse = nee_mask
+    thr_pre = throughput
 
     # --- primary BSDF sample (restir.wgsl:577-584) ---
     state, sc = bsdf_ops.sample_bsdf(
@@ -179,6 +211,18 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
     last_bsdf_pdf = sc["pdf"]
     throughput = throughput * sc["weight"]
     next_dir = sc["wi"]
+
+    # ONE batched traversal: primary shadow rays + first bounce rays
+    # (the bounce count rides the loop's post-RR accounting, matching
+    # the unbatched formulation exactly)
+    offset_dir0 = jnp.sign(
+        math3d.dot(ffnormal, next_dir, keepdims=True)) * ffnormal
+    origin_b = pos + offset_dir0 * 1e-3
+    blocked0, res_pending = _dual_trace(
+        scene, s_ray, origin_b, next_dir, active, num_lights,
+        reorder=reorder)
+    accumulated = accumulated + jnp.where(
+        nee_mask[:, None], _nee_apply(s_pre, blocked0), 0.0) * thr_pre
 
     valid_v1 = jnp.zeros((r,), jnp.bool_)
     v1_pos = jnp.zeros((r, 3), jnp.float32)
@@ -191,11 +235,12 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
 
     carry = dict(
         state=state, active=active, accumulated=accumulated,
-        throughput=throughput, pos=pos, ffnormal=ffnormal,
+        throughput=throughput, origin=origin_b,
         next_dir=next_dir, last_bsdf_pdf=last_bsdf_pdf,
         previous_was_diffuse=previous_was_diffuse,
         valid_v1=valid_v1, v1_pos=v1_pos, v1_normal=v1_normal,
         ray_count=ray_count, depth=jnp.int32(1),
+        res_t=res_pending["t"], res_tri=res_pending["tri"],
     )
 
     def body(c):
@@ -205,7 +250,10 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         throughput = c["throughput"]
         accumulated = c["accumulated"]
 
-        # Russian roulette (restir.wgsl:593-598)
+        # Russian roulette (restir.wgsl:593-598) - drawn BEFORE the hit
+        # mask applies, exactly like the unbatched order (the bounce was
+        # already traced at the END of the previous iteration, but its
+        # result is consumed only after this draw)
         rr_mask = active & (depth >= RR_START_DEPTH)
         state, r_rr = rng.rand_if(state, rr_mask)
         p = jnp.max(throughput, axis=-1)
@@ -216,15 +264,12 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
             (rr_mask & active)[:, None], throughput / survival[:, None], throughput
         )
 
-        # bounce ray (restir.wgsl:601-607)
+        # pending bounce hit (restir.wgsl:601-607; post-RR count matches
+        # the unbatched formulation's per-bounce ray accounting)
         next_dir = c["next_dir"]
-        offset_dir = jnp.sign(
-            math3d.dot(c["ffnormal"], next_dir, keepdims=True)
-        ) * c["ffnormal"]
-        origin = c["pos"] + offset_dir * 1e-3
+        origin = c["origin"]
+        res = {"t": c["res_t"], "tri": c["res_tri"]}
         ray_count = c["ray_count"] + jnp.sum(active.astype(jnp.float32))
-        res = scene_trace(scene, origin, next_dir, T_MIN, T_MAX, active=active,
-                          reorder=reorder)
         active = active & (res["tri"] >= 0)
 
         h = reconstruct_hit(scene, res["tri"], origin, next_dir, res["t"])
@@ -286,15 +331,15 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         ) * throughput
         active = active & ~light_hit
 
-        # NEE (restir.wgsl:702-724) - note primary glass flag quirk
+        # NEE draws (restir.wgsl:702-724) - note primary glass flag quirk
         is_specular_b = is_glass_primary | (mat["roughness"] < 0.05)
         nee_mask = active & ~is_specular_b
-        state, direct, nee_rays = _nee(scene, state, nee_mask, h["pos"],
-                                       ffnormal, wo, mat, base_color,
-                                       num_lights, reorder=reorder)
-        ray_count = ray_count + nee_rays
-        accumulated = accumulated + jnp.where(nee_mask[:, None], direct, 0.0) * throughput
+        state, s_ray, s_pre = _nee_draw(scene, state, nee_mask, h["pos"],
+                                        ffnormal, wo, mat, base_color,
+                                        num_lights)
+        ray_count = ray_count + s_pre["n_rays"]
         previous_was_diffuse = jnp.where(active, nee_mask, c["previous_was_diffuse"])
+        thr_pre = throughput
 
         # next BSDF sample (restir.wgsl:727-732)
         state, sc = bsdf_ops.sample_bsdf(
@@ -304,13 +349,25 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         active = active & ~dead
         throughput = jnp.where(active[:, None], throughput * sc["weight"], throughput)
 
+        # ONE batched traversal: this depth's shadow rays + the next
+        # depth's bounce rays (halves the sweep-call count per depth;
+        # the trailing bounce of the final iteration goes unused)
+        offset_dir = jnp.sign(
+            math3d.dot(ffnormal, sc["wi"], keepdims=True)) * ffnormal
+        origin_n = h["pos"] + offset_dir * 1e-3
+        blocked, res_n = _dual_trace(scene, s_ray, origin_n, sc["wi"],
+                                     active, num_lights, reorder=reorder)
+        accumulated = accumulated + jnp.where(
+            nee_mask[:, None], _nee_apply(s_pre, blocked), 0.0) * thr_pre
+
         return dict(
             state=state, active=active, accumulated=accumulated,
-            throughput=throughput, pos=h["pos"], ffnormal=ffnormal,
+            throughput=throughput, origin=origin_n,
             next_dir=sc["wi"], last_bsdf_pdf=sc["pdf"],
             previous_was_diffuse=previous_was_diffuse,
             valid_v1=valid_v1, v1_pos=v1_pos, v1_normal=v1_normal,
             ray_count=ray_count, depth=depth + 1,
+            res_t=res_n["t"], res_tri=res_n["tri"],
         )
 
     # while_loop so a wavefront whose lanes have ALL terminated skips the

@@ -36,7 +36,7 @@ def _affine(transforms):
     return a, t, nm
 
 
-def update_instances(scene, transforms, changed=None):
+def update_instances(scene, transforms, changed=None, repack=False):
     """Return a new CompiledScene with instances moved to `transforms`.
 
     transforms: [I, 3, 4] or [I, 4, 4] object->world affines (all
@@ -48,7 +48,19 @@ def update_instances(scene, transforms, changed=None):
     moved geometry, not scene size - the triangle indices are resolved
     host-side once per `changed` set, so everything stays static-shaped
     under jit). With changed=None every instance is re-transformed.
+
+    repack: additionally re-sort the triangle stream by Morton code
+    (ops/lbvh.py) so chunk culling stays tight after LARGE motion - the
+    analog of the reference's full-rebuild TLAS update mode
+    (AccelerationStructureUpdateMode::Build, builder.rs:465). Refit
+    alone preserves order (boxes grow with deformation); repack restores
+    spatial coherence at the cost of an on-device sort.
     """
+    if repack:
+        from .lbvh import morton_reorder
+
+        full = update_instances(scene, transforms, changed=None)
+        return morton_reorder(full)
     if changed is not None:
         return _update_changed(scene, transforms, tuple(sorted(changed)))
     a, t, nm = _affine(transforms)
