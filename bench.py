@@ -211,7 +211,6 @@ def config(n: int):
         # tonemapped space, at 720p to keep the reference run tractable.
         from tpu_raytracer.ops.post import resolve_tonemap
         from tpu_raytracer.utils.image import psnr
-        import numpy as np
 
         wq, hq = 1280, 720
         stq = pipeline.init_state(wq, hq)

@@ -125,6 +125,35 @@ def test_early_out_coherent_rays(monkeypatch):
     assert not (out_tri[~np.asarray(active)] >= 0).any()
 
 
+def test_streamed_kernel_beyond_vmem():
+    """Scenes past the VMEM-resident coef cap route to the HBM-streamed
+    double-buffered kernel (mxus) and must agree with the exact sweep."""
+    rng = np.random.default_rng(21)
+    t = pallas_trace.MXUF_MAX_TP + pallas_trace.CT  # just past the cap
+    v0 = rng.standard_normal((t, 3)).astype(np.float32) * 3
+    e1 = rng.standard_normal((t, 3)).astype(np.float32) * 0.3
+    e2 = rng.standard_normal((t, 3)).astype(np.float32) * 0.3
+    planes, aabb, _ = pallas_trace.pack_triangles(v0, e1, e2)
+    planes, aabb = jnp.asarray(planes), jnp.asarray(aabb)
+
+    r = 768
+    ro = jnp.asarray(rng.standard_normal((r, 3)).astype(np.float32) * 4)
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
+                                          kernel="vpu")
+    out = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
+                                          kernel="mxuf2")   # -> mxus8
+    rt = np.asarray(ref["tri"])
+    ot = np.asarray(out["tri"])
+    assert ((rt >= 0) == (ot >= 0)).mean() > 0.999
+    both = (rt >= 0) & (ot >= 0)
+    # a 32k-tri random soup has many near-coincident surfaces; allow a
+    # few bf16 3-pass winner flips between equal-t triangles
+    assert (rt[both] == ot[both]).mean() > 0.99
+
+
 def test_mxu_coef_identity():
     """phi(ray) @ coef == direct MT terms (f64 check of the derivation)."""
     rng = np.random.default_rng(4)

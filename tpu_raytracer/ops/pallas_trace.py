@@ -81,7 +81,8 @@ MXU_MAX_TP = 48 * 1024
 
 def _mode_grp(mode: str) -> int:
     """Chunks swept per loop step for grouped modes (mxufN/mxuwN/anyN)."""
-    if mode.startswith("mxuf") or mode.startswith("mxuw"):
+    if mode.startswith("mxuf") or mode.startswith("mxuw") \
+            or mode.startswith("mxus"):
         return int(mode[4:]) if len(mode) > 4 else GROUP
     if mode.startswith("any"):
         return int(mode[3:]) if len(mode) > 3 else 2
@@ -491,6 +492,80 @@ def _nonzero(d, eps=1e-12):
     return jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
 
 
+def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
+                    t_ref, idx_ref, buf_ref, sem_ref, *, num_groups,
+                    any_hit, use_worklist=True, grp=8):
+    """HBM-STREAMED fused-pass sweep: the coef matrix stays in HBM and
+    each worklist unit's [48, 4*grp*CT] slice is DMA'd into a VMEM
+    double buffer one step ahead of the sweep - triangle capacity is no
+    longer bounded by VMEM (the resident kernels cap at ~32k tris;
+    DamagedHelmet-class glTFs are ~100k+). Worklist culling keeps the
+    streamed bytes proportional to what each block actually sweeps.
+    """
+    rays = rays_ref[:]
+    t_min = rays[6][:, None]
+    t_max = rays[7][:, None]
+    feat = _feat48(rays)
+
+    b = pl.program_id(0)
+    n_live = count_ref[b] if use_worklist else num_groups
+    cols = grp * 4 * CT
+
+    def start_copy(i, slot):
+        g = list_ref[i, b] if use_worklist else i
+        pltpu.make_async_copy(
+            coef_hbm.at[:, pl.ds(g * cols, cols)],
+            buf_ref.at[slot], sem_ref.at[slot]).start()
+
+    def wait_copy(slot):
+        pltpu.make_async_copy(
+            buf_ref.at[slot], buf_ref.at[slot], sem_ref.at[slot]).wait()
+
+    @pl.when(n_live > 0)
+    def _():
+        start_copy(0, 0)
+
+    def group(i, carry):
+        t_best, idx_best = carry
+
+        @pl.when(i + 1 < n_live)
+        def _():
+            start_copy(i + 1, (i + 1) % 2)
+
+        wait_copy(i % 2)
+        g = list_ref[i, b] if use_worklist else i
+        prod = _dot48(feat, buf_ref[i % 2])
+        for k in range(grp):
+            o = k * 4 * CT
+            det = prod[:, o:o + CT]
+            u_n = prod[:, o + CT:o + 2 * CT]
+            v_n = prod[:, o + 2 * CT:o + 3 * CT]
+            t_n = prod[:, o + 3 * CT:o + 4 * CT]
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            d_abs = det * sgn
+            ok = d_abs > _MT_EPS
+            u2 = u_n * sgn
+            v2 = v_n * sgn
+            t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+            hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+                   & (t_val > t_min) & (t_val < t_max)
+                   & (t_val < t_best[:, None]))
+            t_cand = jnp.where(hit, t_val, INF)
+            best_lane = jnp.argmin(t_cand, axis=1)
+            t_new = jnp.min(t_cand, axis=1)
+            improved = t_new < t_best
+            t_best = jnp.where(improved, t_new, t_best)
+            idx_best = jnp.where(improved,
+                                 (g * grp + k) * CT + best_lane, idx_best)
+        return t_best, idx_best
+
+    init = (jnp.full((BR,), INF, jnp.float32),
+            jnp.full((BR,), -1, jnp.int32))
+    t_best, idx_best = jax.lax.fori_loop(0, n_live, group, init)
+    t_ref[0, :] = t_best
+    idx_ref[0, :] = idx_best
+
+
 def _mt_kernel_mxuw(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
                     mask_ref, t_ref, idx_ref, *, num_groups, any_hit,
                     use_worklist=True, passes=3, grp=GROUP):
@@ -878,9 +953,12 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
         mode = "mxu3"
     if (mode.startswith("mxuf") or mode.startswith("any")) \
             and tp > MXUF_MAX_TP:
-        mode = "mxu3" if mode.startswith("mxuf") else "vpu"
+        # beyond VMEM residency: stream the coef from HBM (closest-hit
+        # answers occlusion queries too)
+        mode = "mxus8"
     if mode.startswith("mxu") and not mode.startswith("mxuw") \
-            and not mode.startswith("mxuf") and tp > MXU_MAX_TP:
+            and not mode.startswith("mxuf") and not mode.startswith("mxus") \
+            and tp > MXU_MAX_TP:
         mode = "vpu"
     grp = _mode_grp(mode)
     if grp > 1:
@@ -933,6 +1011,18 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
         kernel = functools.partial(
             _mt_kernel_any, num_groups=num_units,
             use_worklist=use_worklist, grp=grp, early=early)
+    elif mode.startswith("mxus"):
+        grp = _mode_grp(mode)
+        cols = grp * 4 * CT
+        tri_arg = mt_coef48(tri_planes, group=grp)
+        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)   # stays in HBM
+        scratch_shapes = [
+            pltpu.VMEM((2, 48, cols), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        kernel = functools.partial(
+            _mt_kernel_mxus, num_groups=num_units, any_hit=any_hit,
+            use_worklist=use_worklist, grp=grp)
     elif mode.startswith("mxuf"):
         grp = _mode_grp(mode)
         tri_arg = mt_coef48(tri_planes, group=grp)

@@ -15,8 +15,11 @@ import jax.numpy as jnp
 
 from . import pallas_trace, traversal
 
-# Above this many triangles the BVH pointer walk wins over brute force.
-BRUTE_FORCE_MAX_TRIS = 65536
+# Above this the swept path gives way to the BVH pointer walk. The
+# HBM-streamed kernel (pallas_trace "mxus") removes the VMEM residency
+# bound; the remaining ceiling is the SMEM worklist budget
+# (~128 group units x 8 chunks x 128 tris at 512^2 blocking).
+BRUTE_FORCE_MAX_TRIS = 131072
 
 
 def _trace_brute_xla(tri_planes, ray_o, ray_d, t_min, t_max, active=None):
