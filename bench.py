@@ -188,14 +188,26 @@ def config(n: int):
         from tpu_raytracer.render import pipeline, renderer
 
         scene = scenes.create_cornell_box()
-        w, h = 3840, 2160
-        cam = camera_mod.CameraController()
-        state = pipeline.init_state(w, h)
-        uniform = renderer.camera_to_device(
-            cam.uniform(w / h, 0, scene.num_lights))
-        ldr, hdr, state, aux = pipeline.render_frame(
-            scene, uniform, jnp.uint32(0), state, w, h)
-        jax.block_until_ready(ldr)
+        # honest attempt at true 4K; XLA:TPU pads narrow [R,35]/[R,3]
+        # arrays to 128-lane tiles (42x waste - see PERF.md), which at
+        # 8.3M pixels overflows the 15.75 GB HBM by ~150 MB. When the
+        # compile OOMs, fall back to 1440p and SAY SO.
+        res_note = "3840x2160"
+        for w, h in ((3840, 2160), (2560, 1440)):
+            try:
+                cam = camera_mod.CameraController()
+                state = pipeline.init_state(w, h)
+                uniform = renderer.camera_to_device(
+                    cam.uniform(w / h, 0, scene.num_lights))
+                ldr, hdr, state, aux = pipeline.render_frame(
+                    scene, uniform, jnp.uint32(0), state, w, h)
+                jax.block_until_ready(ldr)
+                res_note = f"{w}x{h}"
+                break
+            except Exception as e:  # noqa: BLE001 - HBM OOM at 4K
+                print(f"# config 5: {w}x{h} failed "
+                      f"({type(e).__name__}); retrying smaller",
+                      file=sys.stderr)
         t0 = time.time()
         uniform = renderer.camera_to_device(
             cam.uniform(w / h, 1, scene.num_lights))
@@ -227,7 +239,8 @@ def config(n: int):
         ref = np.asarray(resolve_tonemap(
             stq["accum"].reshape(hq, wq, 3)))
         q = psnr(den, ref)
-        out = {"config": 5, "s_per_4k_denoised_frame": round(dt, 2),
+        out = {"config": 5, "resolution": res_note,
+               "s_per_denoised_frame": round(dt, 2),
                "denoised_2spp_psnr_vs_32spp_720p": round(float(q), 2)}
     else:
         raise SystemExit(f"unknown config {n}")

@@ -116,6 +116,19 @@ def _dual_trace(scene, s_ray, b_origin, b_dir, b_active, num_lights,
         res = scene_trace(scene, b_origin, b_dir, T_MIN, T_MAX,
                           active=b_active, reorder=reorder)
         return jnp.zeros((r,), jnp.bool_), res
+    if r > 4 * 1024 * 1024:
+        # HUGE frames (4K): the 2R-wide batched call's prepass
+        # intermediates (~2.5 GB) OOM HBM - fall back to two sequential
+        # calls (identical per-ray results; the batching is purely a
+        # call-overhead optimization)
+        from .trace_api import scene_occluded
+
+        blocked = scene_occluded(scene, s_ray["origin"], s_ray["dir"],
+                                 T_MIN, s_ray["t_max"],
+                                 active=s_ray["active"], reorder=reorder)
+        res = scene_trace(scene, b_origin, b_dir, T_MIN, T_MAX,
+                          active=b_active, reorder=reorder)
+        return blocked, res
     o = jnp.concatenate([s_ray["origin"], b_origin], axis=0)
     d = jnp.concatenate([s_ray["dir"], b_dir], axis=0)
     t_max = jnp.concatenate(

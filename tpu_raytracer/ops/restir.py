@@ -23,6 +23,7 @@ pixel indices (band-invariant: sharding does not change the image).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..utils import math3d, rng
@@ -344,8 +345,12 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         over, res["w_sum"] * MAX_M_SPATIAL / jnp.maximum(res["M"], 1), res["w_sum"])
     res["M"] = jnp.minimum(res["M"], MAX_M_SPATIAL)
 
-    ray_count = jnp.float32(0.0)
-    for i in range(5):
+    # The 5 disk taps run as a lax.scan (identical sequential semantics
+    # to the unrolled loop): at 4K each tap's gathered neighbor rows are
+    # ~2.8 GB, and the unrolled form kept several live at once - the
+    # difference between fitting in 15.75 GB of HBM and OOM.
+    def tap(carry, i):
+        res, local_seed, ray_count = carry
         it_active = valid & (i < num_neighbors)
         local_seed, r1 = rng.rand_lcg_if(local_seed, it_active)
         local_seed, r2 = rng.rand_lcg_if(local_seed, it_active)
@@ -404,6 +409,11 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
                                 p_hat_corr, nb_spath,
                                 jnp.zeros((3,), jnp.float32)[None],
                                 jnp.bool_(False))
+        return (res, local_seed, ray_count), None
+
+    (res, local_seed, ray_count), _ = jax.lax.scan(
+        tap, (res, local_seed, jnp.float32(0.0)),
+        jnp.arange(5, dtype=jnp.int32))
 
     # Finalize: replay winning seed + shade (restir_spatial.wgsl:996-1015).
     # Replay dedup: the replay is deterministic in (gb, seed), so lanes

@@ -67,6 +67,41 @@ def trivial_view(flat, width: int, height: int) -> BandView:
                     band_h=height, halo=0)
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["a", "b", "y0"],
+         meta_fields=["width", "height", "band_h", "halo"])
+@dataclasses.dataclass
+class PairBandView:
+    """BandView over TWO flat arrays whose reads concatenate row-wise.
+
+    Equivalent to a BandView over `concatenate([a, b], -1)` WITHOUT
+    materializing the concatenation - at 4K the combined
+    G-buffer+reservoir copies alone are ~6 GB of HBM, which OOMs the
+    frame; per-tap this costs a second row gather instead
+    (~15 ns/row x taps, the right trade only for huge frames)."""
+    a: jax.Array
+    b: jax.Array
+    y0: jax.Array
+    width: int
+    height: int
+    band_h: int
+    halo: int
+
+    def read(self, gy, gx):
+        local_row = gy - self.y0 + self.halo
+        in_cover = (local_row >= 0) & (local_row < self.band_h + 2 * self.halo)
+        in_image = (gy >= 0) & (gy < self.height) & (gx >= 0) & (gx < self.width)
+        valid = in_cover & in_image
+        idx = jnp.clip(local_row, 0, self.band_h + 2 * self.halo - 1) * self.width \
+            + jnp.clip(gx, 0, self.width - 1)
+        return jnp.concatenate([self.a[idx], self.b[idx]], axis=-1), valid
+
+
+def trivial_pair_view(a, b, width: int, height: int) -> PairBandView:
+    return PairBandView(a=a, b=b, y0=jnp.int32(0), width=width,
+                        height=height, band_h=height, halo=0)
+
+
 def halo_exchange(flat_local, width: int, band_h: int, halo: int,
                   axis_name: str, y0) -> BandView:
     """Build a BandView from a band-local flat array inside shard_map.

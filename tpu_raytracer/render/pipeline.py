@@ -40,7 +40,7 @@ def init_state(width: int, height: int) -> dict:
 
 
 def render_band(scene, camera, frame_count, state, ctx, make_view,
-                static_ok=False):
+                static_ok=False, make_view2=None):
     """One frame over one band; `make_view` lifts band-local flat arrays to
     neighbor-readable BandViews (trivial on one chip, halo-exchanged on a
     mesh). Shared by the single-chip and sharded pipelines.
@@ -48,24 +48,37 @@ def render_band(scene, camera, frame_count, state, ctx, make_view,
     static_ok: traced bool - caller asserts the world (camera + scene) is
     unchanged since the previous frame, enabling temporal replay dedup
     (ops/restir.py). False is always safe.
+
+    make_view2: optional (a, b) -> lazily-concatenating view. Used for
+    HUGE frames where materializing the combined G-buffer+reservoir
+    arrays (~6 GB at 4K) OOMs HBM; costs one extra gather per tap.
     """
     width, height = ctx["width"], ctx["height"]
     n_primary = ctx["band_h"] * width
+    big = n_primary > 4 * 1024 * 1024
     gb = gbuffer_ops.render_gbuffer(scene, camera, width, height,
                                     y0=ctx["y0"], band_h=ctx["band_h"])
     # gb + reservoir rows ride ONE BandView so every neighbor tap is a
     # single wide-row gather (temporal reprojection, spatial disk taps)
-    prev_comb = jnp.concatenate([state["gb"], state["res"]], axis=-1)
+    if make_view2 is not None and big:
+        prev_view = make_view2(state["gb"], state["res"])
+    else:
+        prev_view = make_view(
+            jnp.concatenate([state["gb"], state["res"]], axis=-1))
     reservoirs_t, rays_t = restir_ops.restir_temporal(
-        scene, gb, make_view(prev_comb),
+        scene, gb, prev_view,
         camera, frame_count, ctx, static_ok=static_ok)
 
     gb_packed = gbuffer_ops.pack_gb(gb)
     gb_view = make_view(gb_packed)
-    comb_t = jnp.concatenate(
-        [gb_packed, restir_ops.pack_reservoirs(reservoirs_t)], axis=-1)
+    res_t_packed = restir_ops.pack_reservoirs(reservoirs_t)
+    if make_view2 is not None and big:
+        comb_view = make_view2(gb_packed, res_t_packed)
+    else:
+        comb_view = make_view(
+            jnp.concatenate([gb_packed, res_t_packed], axis=-1))
     reservoirs_s, hdr, rays_s, diag = restir_ops.restir_spatial(
-        scene, gb, make_view(comb_t), reservoirs_t, camera,
+        scene, gb, comb_view, reservoirs_t, camera,
         frame_count, ctx)
 
     ldr, accum = post_ops.post_process(
@@ -100,5 +113,8 @@ def render_frame(scene, camera, frame_count, state, width: int, height: int,
     def make_view(flat):
         return views_mod.trivial_view(flat, width, height)
 
+    def make_view2(a, b):
+        return views_mod.trivial_pair_view(a, b, width, height)
+
     return render_band(scene, camera, frame_count, state, ctx, make_view,
-                       static_ok=static_ok)
+                       static_ok=static_ok, make_view2=make_view2)
