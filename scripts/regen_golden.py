@@ -1,0 +1,50 @@
+"""Regenerate tests/golden/cornell_64_f8_ldr.npy DELIBERATELY.
+
+Run on the CPU backend (the golden test is CPU-only; TPU diverges ~38 dB
+from CPU on this chaotic workload, PERF.md):
+
+    python scripts/regen_golden.py
+
+Only run this after an INTENTIONAL change to the radiance math or RNG
+consumption order (CLAUDE.md invariants). Record the reason in the commit
+message. History of deliberate regenerations:
+  - (none since r2: the r3 tap-batching experiment regenerated it while
+    batched taps were the default, then reverted to the r2 golden when
+    measurement put the sequential reference-exact order back as the
+    default.)
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    from tpu_raytracer.models import scenes
+    from tpu_raytracer.render import camera as camera_mod
+    from tpu_raytracer.render import pipeline, renderer
+
+    w = h = 64
+    scene = scenes.create_cornell_box()
+    cam = camera_mod.CameraController()
+    state = pipeline.init_state(w, h)
+    for frame in range(8):
+        uniform = renderer.camera_to_device(
+            cam.uniform(1.0, frame, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(frame), state, w, h)
+    out = np.asarray(ldr, np.float16)
+    np.save("tests/golden/cornell_64_f8_ldr.npy", out)
+    print("wrote tests/golden/cornell_64_f8_ldr.npy",
+          out.shape, out.dtype, float(out.mean()))
+
+
+if __name__ == "__main__":
+    main()

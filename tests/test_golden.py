@@ -1,5 +1,9 @@
 """Golden-image regression: Cornell box at fixed camera/seed vs stored
-reference render (SURVEY.md §4.2 - stands in for 'bit-comparable radiance')."""
+reference render (SURVEY.md §4.2 - stands in for 'bit-comparable radiance').
+
+Regenerate DELIBERATELY (never to paper over a diff) with:
+    python scripts/regen_golden.py
+"""
 
 import os
 

@@ -153,6 +153,62 @@ def test_streamed_kernel_beyond_vmem():
     # few bf16 3-pass winner flips between equal-t triangles
     assert (rt[both] == ot[both]).mean() > 0.99
 
+    # streamed ANY-HIT variant (occlusion beyond VMEM residency): the
+    # hit/miss flag must match closest-hit occlusion exactly
+    any_out = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, 50.0, any_hit=True, kernel="mxuf2")
+    assert ((np.asarray(any_out["tri"]) >= 0) == (ot >= 0)).mean() > 0.999
+
+
+def test_streamed_early_out(monkeypatch):
+    """mxus front-to-back termination (+ DMA drain) is result-invariant:
+    coherent rays against a layered beyond-VMEM scene agree with the
+    exact sweep, for closest-hit AND any-hit."""
+    monkeypatch.setenv("TPU_RT_EARLY_MIN", "1")
+    rng = np.random.default_rng(23)
+    t_total = pallas_trace.MXUF_MAX_TP + pallas_trace.CT
+    per = t_total // 4
+    slabs = []
+    for z in (1.0, 3.0, 5.0, 7.0):
+        v0 = rng.standard_normal((per, 3)).astype(np.float32)
+        v0[:, 2] = z + 0.1 * v0[:, 2]
+        e1 = rng.standard_normal((per, 3)).astype(np.float32) * 0.7
+        e2 = rng.standard_normal((per, 3)).astype(np.float32) * 0.7
+        slabs.append((v0, e1, e2))
+    v0 = np.concatenate([s[0] for s in slabs])
+    e1 = np.concatenate([s[1] for s in slabs])
+    e2 = np.concatenate([s[2] for s in slabs])
+    planes, aabb, _ = pallas_trace.pack_triangles(v0, e1, e2)
+    planes, aabb = jnp.asarray(planes), jnp.asarray(aabb)
+
+    r = 512
+    ro = np.zeros((r, 3), np.float32)
+    ro[:, 0:2] = rng.uniform(-1.5, 1.5, (r, 2))
+    ro[:, 2] = -1.0
+    rd = np.zeros((r, 3), np.float32)
+    rd[:, 2] = 1.0
+    rd[:, 0:2] = rng.uniform(-0.2, 0.2, (r, 2))
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+    active = jnp.asarray(rng.uniform(size=r) > 0.2)
+
+    ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
+                                          kernel="vpu", active=active)
+    out = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
+                                          kernel="mxuf2", active=active)
+    rt, ot = np.asarray(ref["tri"]), np.asarray(out["tri"])
+    assert ((rt >= 0) == (ot >= 0)).mean() > 0.999
+    both = (rt >= 0) & (ot >= 0)
+    assert (rt[both] == ot[both]).mean() > 0.99
+    assert not (ot[~np.asarray(active)] >= 0).any()
+
+    any_out = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, 50.0, any_hit=True, kernel="mxuf2",
+        active=active)
+    at = np.asarray(any_out["tri"])
+    assert ((at >= 0) == (rt >= 0)).mean() > 0.999
+    assert not (at[~np.asarray(active)] >= 0).any()
+
 
 def test_mxu_coef_identity():
     """phi(ray) @ coef == direct MT terms (f64 check of the derivation)."""

@@ -21,9 +21,14 @@ two wide-row gathers the permutation costs).
 Permutation contract: `src`/`dest` are int32 [R];
     permuted = x[src]           (gather into permuted order)
     restored = y_perm[dest]     (undo on results)
-Results are bit-identical with or without a permutation: the kernel's
-argmin tie-breaks on (chunk id, lane-in-chunk), both invariant to which
-block a ray lands in (tests/test_compaction.py).
+Results are bit-identical with or without a permutation UP TO exact-t
+ties between triangles in different chunks: within a chunk the argmin
+tie-breaks on lane-in-chunk (block-invariant), but worklists are sorted
+by per-block entry distance, so a ray whose closest hit is shared at
+EXACTLY the same t by triangles in two different chunks (e.g. a quad's
+shared diagonal) can resolve to either triangle depending on which rays
+share its block. Geometry/shading is identical either way
+(tests/test_compaction.py).
 """
 
 from __future__ import annotations

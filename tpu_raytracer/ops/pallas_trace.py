@@ -258,49 +258,61 @@ def _mt_kernel_mxuf(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
     rays = rays_ref[:]
     t_min = rays[6][:, None]
     t_max = rays[7][:, None]
-    feat = _feat48(rays)
 
     b = pl.program_id(0)
     n_live = count_ref[b] if use_worklist else num_groups
     cols = grp * 4 * CT
 
-    def sweep_group(g, t_best, idx_best):
-        prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
-        for k in range(grp):                 # unrolled: VPU tests per chunk
-            o = k * 4 * CT
-            det = prod[:, o:o + CT]
-            u_n = prod[:, o + CT:o + 2 * CT]
-            v_n = prod[:, o + 2 * CT:o + 3 * CT]
-            t_n = prod[:, o + 3 * CT:o + 4 * CT]
-            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-            d_abs = det * sgn
-            ok = d_abs > _MT_EPS
-            u2 = u_n * sgn
-            v2 = v_n * sgn
-            t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
-            hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
-                   & (t_val > t_min) & (t_val < t_max)
-                   & (t_val < t_best[:, None]))
-            t_cand = jnp.where(hit, t_val, INF)
-            best_lane = jnp.argmin(t_cand, axis=1)
-            t_new = jnp.min(t_cand, axis=1)
-            improved = t_new < t_best
-            t_best = jnp.where(improved, t_new, t_best)
-            idx_best = jnp.where(improved,
-                                 (g * grp + k) * CT + best_lane, idx_best)
-        return t_best, idx_best
+    def make_sweep(feat):
+        def sweep_group(g, t_best, idx_best):
+            prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
+            for k in range(grp):             # unrolled: VPU tests per chunk
+                o = k * 4 * CT
+                det = prod[:, o:o + CT]
+                u_n = prod[:, o + CT:o + 2 * CT]
+                v_n = prod[:, o + 2 * CT:o + 3 * CT]
+                t_n = prod[:, o + 3 * CT:o + 4 * CT]
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                d_abs = det * sgn
+                ok = d_abs > _MT_EPS
+                u2 = u_n * sgn
+                v2 = v_n * sgn
+                t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+                hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+                       & (t_val > t_min) & (t_val < t_max)
+                       & (t_val < t_best[:, None]))
+                t_cand = jnp.where(hit, t_val, INF)
+                best_lane = jnp.argmin(t_cand, axis=1)
+                t_new = jnp.min(t_cand, axis=1)
+                improved = t_new < t_best
+                t_best = jnp.where(improved, t_new, t_best)
+                idx_best = jnp.where(improved,
+                                     (g * grp + k) * CT + best_lane, idx_best)
+            return t_best, idx_best
+        return sweep_group
 
     if not early:
-        # small scenes: plain carry loop (no ref round-trips, no flag)
-        def group(i, carry):
-            g = list_ref[i, b] if use_worklist else i
-            return sweep_group(g, *carry)
+        # small scenes: plain carry loop (no ref round-trips, no flag).
+        # DEAD-BLOCK SKIP: fully-terminated wavefront blocks (empty
+        # worklist) pay only the init writes - the feature build /
+        # bf16 splits are gated behind n_live > 0 so a mostly-dead
+        # late-bounce sweep costs DMA + init, not per-element work.
+        t_ref[0, :] = jnp.full((BR,), INF, jnp.float32)
+        idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
 
-        init = (jnp.full((BR,), INF, jnp.float32),
-                jnp.full((BR,), -1, jnp.int32))
-        t_best, idx_best = jax.lax.fori_loop(0, n_live, group, init)
-        t_ref[0, :] = t_best
-        idx_ref[0, :] = idx_best
+        @pl.when(n_live > 0)
+        def _():
+            sweep_group = make_sweep(_feat48(rays))
+
+            def group(i, carry):
+                g = list_ref[i, b] if use_worklist else i
+                return sweep_group(g, *carry)
+
+            init = (jnp.full((BR,), INF, jnp.float32),
+                    jnp.full((BR,), -1, jnp.int32))
+            t_best, idx_best = jax.lax.fori_loop(0, n_live, group, init)
+            t_ref[0, :] = t_best
+            idx_ref[0, :] = idx_best
         return
 
     live0 = rays[7] > 0.0
@@ -308,18 +320,22 @@ def _mt_kernel_mxuf(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
     idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
     done_ref[0] = jnp.int32(0)
 
-    def group(i, carry):
-        @pl.when(done_ref[0] == 0)
-        def _():
-            t_best, idx_best = sweep_group(
-                list_ref[i, b], t_ref[0, :], idx_ref[0, :])
-            t_ref[0, :] = t_best
-            idx_ref[0, :] = idx_best
-            nxt = entry_ref[jnp.minimum(i + 1, num_groups - 1), b]
-            done_ref[0] = (jnp.max(t_best) < nxt).astype(jnp.int32)
-        return carry
+    @pl.when(n_live > 0)
+    def _():
+        sweep_group = make_sweep(_feat48(rays))
 
-    jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
+        def group(i, carry):
+            @pl.when(done_ref[0] == 0)
+            def _():
+                t_best, idx_best = sweep_group(
+                    list_ref[i, b], t_ref[0, :], idx_ref[0, :])
+                t_ref[0, :] = t_best
+                idx_ref[0, :] = idx_best
+                nxt = entry_ref[jnp.minimum(i + 1, num_groups - 1), b]
+                done_ref[0] = (jnp.max(t_best) < nxt).astype(jnp.int32)
+            return carry
+
+        jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
 
 
 def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
@@ -338,7 +354,6 @@ def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
     rays = rays_ref[:]
     t_min = rays[6][:, None]
     t_max = rays[7][:, None]
-    feat = _feat48(rays)
     inactive = jnp.where(rays[7] <= 0.0, 1.0, 0.0)     # [BR]
 
     b = pl.program_id(0)
@@ -347,50 +362,63 @@ def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
 
     t_ref[0, :] = rays[7]
 
-    def sweep_group(g, hit_acc):
-        prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
-        for k in range(grp):
-            o = k * 4 * CT
-            det = prod[:, o:o + CT]
-            u_n = prod[:, o + CT:o + 2 * CT]
-            v_n = prod[:, o + 2 * CT:o + 3 * CT]
-            t_n = prod[:, o + 3 * CT:o + 4 * CT]
-            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-            d_abs = det * sgn
-            ok = d_abs > _MT_EPS
-            u2 = u_n * sgn
-            v2 = v_n * sgn
-            tn2 = t_n * sgn
-            hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
-                   & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
-            hit_acc = jnp.maximum(
-                hit_acc, jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
-        return hit_acc
-
-    if not early:
-        def body(i, hit_acc):
-            g = list_ref[i, b] if use_worklist else i
-            return sweep_group(g, hit_acc)
-
-        hit_acc = jax.lax.fori_loop(0, n_live, body,
-                                    jnp.zeros((BR,), jnp.float32))
-        idx_ref[0, :] = jnp.where(hit_acc > 0.0, 1, -1).astype(jnp.int32)
-        return
+    def make_sweep(feat):
+        def sweep_group(g, hit_acc):
+            prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
+            for k in range(grp):
+                o = k * 4 * CT
+                det = prod[:, o:o + CT]
+                u_n = prod[:, o + CT:o + 2 * CT]
+                v_n = prod[:, o + 2 * CT:o + 3 * CT]
+                t_n = prod[:, o + 3 * CT:o + 4 * CT]
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                d_abs = det * sgn
+                ok = d_abs > _MT_EPS
+                u2 = u_n * sgn
+                v2 = v_n * sgn
+                tn2 = t_n * sgn
+                hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+                       & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
+                hit_acc = jnp.maximum(
+                    hit_acc, jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
+            return hit_acc
+        return sweep_group
 
     idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
+
+    if not early:
+        # dead-block skip: empty-worklist blocks pay init only
+        @pl.when(n_live > 0)
+        def _():
+            sweep_group = make_sweep(_feat48(rays))
+
+            def body(i, hit_acc):
+                g = list_ref[i, b] if use_worklist else i
+                return sweep_group(g, hit_acc)
+
+            hit_acc = jax.lax.fori_loop(0, n_live, body,
+                                        jnp.zeros((BR,), jnp.float32))
+            idx_ref[0, :] = jnp.where(hit_acc > 0.0, 1, -1).astype(jnp.int32)
+        return
+
     done_ref[0] = jnp.int32(0)
 
-    def body(i, carry):
-        @pl.when(done_ref[0] == 0)
-        def _():
-            prev = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
-            found = sweep_group(list_ref[i, b], prev)
-            idx_ref[0, :] = jnp.where(found > 0.0, 1, -1).astype(jnp.int32)
-            all_done = jnp.min(jnp.maximum(found, inactive)) > 0.0
-            done_ref[0] = all_done.astype(jnp.int32)
-        return carry
+    @pl.when(n_live > 0)
+    def _():
+        sweep_group = make_sweep(_feat48(rays))
 
-    jax.lax.fori_loop(0, n_live, body, jnp.int32(0))
+        def body(i, carry):
+            @pl.when(done_ref[0] == 0)
+            def _():
+                prev = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
+                found = sweep_group(list_ref[i, b], prev)
+                idx_ref[0, :] = jnp.where(
+                    found > 0.0, 1, -1).astype(jnp.int32)
+                all_done = jnp.min(jnp.maximum(found, inactive)) > 0.0
+                done_ref[0] = all_done.astype(jnp.int32)
+            return carry
+
+        jax.lax.fori_loop(0, n_live, body, jnp.int32(0))
 
 
 def _mt_kernel_mxui(rays_ref, aabb_ref, coef_ref, t_ref, idx_ref, *,
@@ -493,19 +521,32 @@ def _nonzero(d, eps=1e-12):
 
 
 def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
-                    t_ref, idx_ref, buf_ref, sem_ref, *, num_groups,
-                    any_hit, use_worklist=True, grp=8):
+                    t_ref, idx_ref, buf_ref, sem_ref, done_ref, *,
+                    num_groups, any_hit, use_worklist=True, grp=8,
+                    early=True):
     """HBM-STREAMED fused-pass sweep: the coef matrix stays in HBM and
     each worklist unit's [48, 4*grp*CT] slice is DMA'd into a VMEM
     double buffer one step ahead of the sweep - triangle capacity is no
     longer bounded by VMEM (the resident kernels cap at ~32k tris;
     DamagedHelmet-class glTFs are ~100k+). Worklist culling keeps the
     streamed bytes proportional to what each block actually sweeps.
+
+    Front-to-back EARLY TERMINATION (worklists arrive entry-sorted):
+    closest-hit stops once every live lane's best t beats the next
+    unit's conservative entry distance; any-hit (restir.wgsl:375-381
+    flag-0x4 economics) skips the argmin/division half entirely and
+    stops once every live lane is occluded. Termination uses a 3-state
+    SMEM flag (0 = sweeping, 1 = terminated with ONE prefetch DMA still
+    in flight - drained on the next iteration, never left dangling at
+    kernel exit - and 2 = drained), because the next unit's copy is
+    issued before its sweep decides we are done.
     """
     rays = rays_ref[:]
     t_min = rays[6][:, None]
     t_max = rays[7][:, None]
     feat = _feat48(rays)
+    live0 = rays[7] > 0.0
+    inactive = jnp.where(rays[7] <= 0.0, 1.0, 0.0)     # [BR]
 
     b = pl.program_id(0)
     n_live = count_ref[b] if use_worklist else num_groups
@@ -521,49 +562,97 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
         pltpu.make_async_copy(
             buf_ref.at[slot], buf_ref.at[slot], sem_ref.at[slot]).wait()
 
+    if any_hit:
+        t_ref[0, :] = rays[7]
+        idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
+    else:
+        # dead lanes (t_max <= 0) start at t_best = 0 so they never block
+        # the front-to-back termination check
+        t_ref[0, :] = jnp.where(live0, INF, 0.0)
+        idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
+    done_ref[0] = jnp.int32(0)
+
     @pl.when(n_live > 0)
     def _():
         start_copy(0, 0)
 
     def group(i, carry):
-        t_best, idx_best = carry
-
-        @pl.when(i + 1 < n_live)
+        @pl.when(done_ref[0] == 0)
         def _():
-            start_copy(i + 1, (i + 1) % 2)
+            @pl.when(i + 1 < n_live)
+            def _():
+                start_copy(i + 1, (i + 1) % 2)
 
-        wait_copy(i % 2)
-        g = list_ref[i, b] if use_worklist else i
-        prod = _dot48(feat, buf_ref[i % 2])
-        for k in range(grp):
-            o = k * 4 * CT
-            det = prod[:, o:o + CT]
-            u_n = prod[:, o + CT:o + 2 * CT]
-            v_n = prod[:, o + 2 * CT:o + 3 * CT]
-            t_n = prod[:, o + 3 * CT:o + 4 * CT]
-            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-            d_abs = det * sgn
-            ok = d_abs > _MT_EPS
-            u2 = u_n * sgn
-            v2 = v_n * sgn
-            t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
-            hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
-                   & (t_val > t_min) & (t_val < t_max)
-                   & (t_val < t_best[:, None]))
-            t_cand = jnp.where(hit, t_val, INF)
-            best_lane = jnp.argmin(t_cand, axis=1)
-            t_new = jnp.min(t_cand, axis=1)
-            improved = t_new < t_best
-            t_best = jnp.where(improved, t_new, t_best)
-            idx_best = jnp.where(improved,
-                                 (g * grp + k) * CT + best_lane, idx_best)
-        return t_best, idx_best
+            wait_copy(i % 2)
+            g = list_ref[i, b] if use_worklist else i
+            prod = _dot48(feat, buf_ref[i % 2])
+            if any_hit:
+                hit_acc = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
+                for k in range(grp):
+                    o = k * 4 * CT
+                    det = prod[:, o:o + CT]
+                    u_n = prod[:, o + CT:o + 2 * CT]
+                    v_n = prod[:, o + 2 * CT:o + 3 * CT]
+                    t_n = prod[:, o + 3 * CT:o + 4 * CT]
+                    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                    d_abs = det * sgn
+                    ok = d_abs > _MT_EPS
+                    u2 = u_n * sgn
+                    v2 = v_n * sgn
+                    tn2 = t_n * sgn
+                    hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
+                           & (u2 + v2 <= d_abs)
+                           & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
+                    hit_acc = jnp.maximum(
+                        hit_acc, jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
+                idx_ref[0, :] = jnp.where(
+                    hit_acc > 0.0, 1, -1).astype(jnp.int32)
+                term = jnp.min(jnp.maximum(hit_acc, inactive)) > 0.0
+            else:
+                t_best = t_ref[0, :]
+                idx_best = idx_ref[0, :]
+                for k in range(grp):
+                    o = k * 4 * CT
+                    det = prod[:, o:o + CT]
+                    u_n = prod[:, o + CT:o + 2 * CT]
+                    v_n = prod[:, o + 2 * CT:o + 3 * CT]
+                    t_n = prod[:, o + 3 * CT:o + 4 * CT]
+                    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                    d_abs = det * sgn
+                    ok = d_abs > _MT_EPS
+                    u2 = u_n * sgn
+                    v2 = v_n * sgn
+                    t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+                    hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
+                           & (u2 + v2 <= d_abs)
+                           & (t_val > t_min) & (t_val < t_max)
+                           & (t_val < t_best[:, None]))
+                    t_cand = jnp.where(hit, t_val, INF)
+                    best_lane = jnp.argmin(t_cand, axis=1)
+                    t_new = jnp.min(t_cand, axis=1)
+                    improved = t_new < t_best
+                    t_best = jnp.where(improved, t_new, t_best)
+                    idx_best = jnp.where(
+                        improved, (g * grp + k) * CT + best_lane, idx_best)
+                t_ref[0, :] = t_best
+                idx_ref[0, :] = idx_best
+                nxt = entry_ref[jnp.minimum(i + 1, num_groups - 1), b]
+                term = jnp.max(t_best) < nxt
+            if early:
+                # 1 = one prefetch outstanding (issued above for i+1),
+                # 2 = nothing to drain
+                done_ref[0] = jnp.where(
+                    term, jnp.where(i + 1 < n_live, 1, 2), 0
+                ).astype(jnp.int32)
 
-    init = (jnp.full((BR,), INF, jnp.float32),
-            jnp.full((BR,), -1, jnp.int32))
-    t_best, idx_best = jax.lax.fori_loop(0, n_live, group, init)
-    t_ref[0, :] = t_best
-    idx_ref[0, :] = idx_best
+        @pl.when(done_ref[0] == 1)
+        def _():
+            wait_copy(i % 2)            # drain the already-issued prefetch
+            done_ref[0] = jnp.int32(2)
+
+        return carry
+
+    jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
 
 
 def _mt_kernel_mxuw(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
@@ -825,9 +914,11 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
         "none" keeps caller order; "live" packs active lanes first so
         trailing blocks die wholesale; "bins" additionally groups live
         lanes by direction octant so each block's chunk worklist stays
-        short. Results are bit-identical across modes.
+        short. Results are identical across modes up to exact-t
+        cross-chunk ties (ops/compaction.py).
 
-    Returns dict(t, tri, u, v, front) like traversal.trace.
+    Returns dict(t, tri); the winner's exact u/v/front are recomputed
+    from its wide tri_table row in ops/hit.py.
     """
     r = ray_o.shape[0]
     tp = tri_planes.shape[2]
@@ -839,24 +930,35 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
 
-    rows = jnp.zeros((rp, 8), jnp.float32)
-    rows = rows.at[:r, 0:3].set(ray_o)
-    rows = rows.at[:r, 3:6].set(ray_d)
-    rows = rows.at[:r, 6].set(t_min)
-    rows = rows.at[:r, 7].set(t_max)
-
     dest = None
     if reorder != "none":
+        # reorder path materializes the [rp, 8] row table (one wide-row
+        # gather applies the permutation); default "none" builds the
+        # [8, rp] transposed layout directly - a [rp, 8] array pads its
+        # minor dim to 128 lanes (~0.5 GB at 1M rays, PERF.md r3).
         from . import compaction
 
+        rows = jnp.zeros((rp, 8), jnp.float32)
+        rows = rows.at[:r, 0:3].set(ray_o)
+        rows = rows.at[:r, 3:6].set(ray_d)
+        rows = rows.at[:r, 6].set(t_min)
+        rows = rows.at[:r, 7].set(t_max)
         live = rows[:, 7] > 0.0
         if reorder == "bins":
             key, nb_bins = compaction.direction_bins(rows[:, 3:6], live)
             src, dest = compaction.partition_bins(key, nb_bins)
         else:
             src, dest, _ = compaction.partition_live(live)
-        rows = rows[src]
-    rays = rows.T
+        rays = rows[src].T
+    else:
+        pad = rp - r
+        ot = ray_o.T                                   # [3, R]
+        dt = ray_d.T
+        rays = jnp.concatenate([
+            ot, dt, t_min[None], t_max[None]], axis=0)  # [8, R]
+        if pad:
+            rays = jnp.concatenate(
+                [rays, jnp.zeros((8, pad), jnp.float32)], axis=1)
 
     # EXPERIMENT (default OFF - regressed 7.7 -> 5.3 Mrays/s): cull
     # INSIDE the kernel (slab-guarded groups) instead of the XLA worklist
@@ -917,26 +1019,35 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
 
     # --- block-level chunk culling (cheap XLA pre-pass) ---
     # per-ray slab tests against every chunk AABB, OR-reduced per block,
-    # compacted to a per-block chunk worklist (hits sorted first)
+    # compacted to a per-block chunk worklist (hits sorted first).
+    # LAYOUT: everything is [NC, nb, BR] - the MINOR dim is the full
+    # BR-lane ray axis. The earlier [nb, BR, NC, 3] formulation had
+    # minor dims 3 and NC that XLA:TPU pads to 128 lanes (~0.5 GB of
+    # tile-padding traffic per 1M-ray call -> ~7.5 ms per traversal
+    # call, the dominant per-depth glue of the bounce loops; PERF.md r3).
     nb = rp // BR
-    o_b = rays[0:3].T.reshape(nb, BR, 1, 3)
-    d_pad = rays[3:6].T
     eps = 1e-12
-    inv_d = 1.0 / jnp.where(jnp.abs(d_pad) < eps,
-                            jnp.where(d_pad < 0, -eps, eps), d_pad)
-    inv_b = inv_d.reshape(nb, BR, 1, 3)
-    tmin_b = rays[6].reshape(nb, BR, 1)
-    tmax_b = rays[7].reshape(nb, BR, 1)
-    a = (chunk_aabb[None, None, :, 0:3] - o_b) * inv_b
-    bb = (chunk_aabb[None, None, :, 3:6] - o_b) * inv_b
-    t_entry = jnp.maximum(jnp.max(jnp.minimum(a, bb), axis=-1), tmin_b)
-    t_exit = jnp.minimum(jnp.min(jnp.maximum(a, bb), axis=-1), tmax_b)
-    ray_hit = (t_entry <= t_exit) & (tmax_b > 0.0)        # [nb, BR, NC]
+    tmin_nb = rays[6].reshape(1, nb, BR)
+    tmax_nb = rays[7].reshape(1, nb, BR)
+    nc_u = chunk_aabb.shape[0]
+    t_lo = jnp.broadcast_to(tmin_nb, (nc_u, nb, BR))
+    t_hi = jnp.broadcast_to(tmax_nb, (nc_u, nb, BR))
+    for k in range(3):
+        d_k = rays[3 + k]
+        inv_k = (1.0 / jnp.where(jnp.abs(d_k) < eps,
+                                 jnp.where(d_k < 0, -eps, eps), d_k)
+                 ).reshape(1, nb, BR)
+        o_k = rays[k].reshape(1, nb, BR)
+        lo_k = (chunk_aabb[:, k][:, None, None] - o_k) * inv_k
+        hi_k = (chunk_aabb[:, k + 3][:, None, None] - o_k) * inv_k
+        t_lo = jnp.maximum(t_lo, jnp.minimum(lo_k, hi_k))
+        t_hi = jnp.minimum(t_hi, jnp.maximum(lo_k, hi_k))
+    ray_hit = (t_lo <= t_hi) & (tmax_nb > 0.0)             # [NC, nb, BR]
     # conservative per-block entry distance: min over live rays (INF =
     # no ray touches the chunk). Doubles as the hit mask AND the
     # front-to-back sort key for the worklist (BVH-style ordered
     # traversal economics without per-ray walks).
-    e_blk = jnp.where(ray_hit, t_entry, INF).min(axis=1)   # [nb, NC]
+    e_blk = jnp.where(ray_hit, t_lo, INF).min(axis=2).T    # [nb, NC]
 
     mode = kernel
     if mode == "mxuf2" and num_chunks > 48:
@@ -953,8 +1064,9 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
         mode = "mxu3"
     if (mode.startswith("mxuf") or mode.startswith("any")) \
             and tp > MXUF_MAX_TP:
-        # beyond VMEM residency: stream the coef from HBM (closest-hit
-        # answers occlusion queries too)
+        # beyond VMEM residency: stream the coef from HBM (the streamed
+        # kernel keeps the any-hit fast path - no argmin/division,
+        # all-occluded early exit - via the any_hit flag)
         mode = "mxus8"
     if mode.startswith("mxu") and not mode.startswith("mxuw") \
             and not mode.startswith("mxuf") and not mode.startswith("mxus") \
@@ -1019,10 +1131,11 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
         scratch_shapes = [
             pltpu.VMEM((2, 48, cols), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ]
         kernel = functools.partial(
             _mt_kernel_mxus, num_groups=num_units, any_hit=any_hit,
-            use_worklist=use_worklist, grp=grp)
+            use_worklist=use_worklist, grp=grp, early=early)
     elif mode.startswith("mxuf"):
         grp = _mode_grp(mode)
         tri_arg = mt_coef48(tri_planes, group=grp)

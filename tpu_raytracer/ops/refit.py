@@ -135,6 +135,7 @@ def update_instances(scene, transforms, changed=None, repack=False):
 
 
 _CHANGED_CACHE: dict = {}
+_CHANGED_CACHE_MAX = 64
 
 
 def _update_changed(scene, transforms, changed):
@@ -143,7 +144,15 @@ def _update_changed(scene, transforms, changed):
     Host-resolves the static triangle/row index sets once per
     (scene, changed) pair; per-frame device work is then
     O(moved triangles) einsums + O(T) elementwise box reductions
-    (the latter are trivial next to the transforms)."""
+    (the latter are trivial next to the transforms).
+
+    Cache entries are keyed on id(tri_inst) but carry a weakref to the
+    keying array whose finalizer evicts the entry - a recycled CPython id
+    (the original scene garbage-collected, a new array reusing its id)
+    can never serve another scene's index sets. The cache is also bounded
+    (FIFO eviction) so long-lived processes don't pin old device arrays."""
+    import weakref
+
     import numpy as np
 
     if not changed:
@@ -156,13 +165,21 @@ def _update_changed(scene, transforms, changed):
         remap = np.zeros(max(int(inst_h.max(initial=0)) + 1, 1), np.int32)
         for j, ci in enumerate(changed):
             remap[ci] = j
+        while len(_CHANGED_CACHE) >= _CHANGED_CACHE_MAX:
+            _CHANGED_CACHE.pop(next(iter(_CHANGED_CACHE)))
+        try:
+            guard = weakref.ref(
+                scene.tri_inst, lambda _r, k=key: _CHANGED_CACHE.pop(k, None))
+        except TypeError:   # plain np.ndarray (host-only tests): no weakref
+            guard = None
         _CHANGED_CACHE[key] = (
             jnp.asarray(sel_np),
             jnp.asarray(np.asarray(scene.tri_local)[sel_np]),
             jnp.asarray(remap[inst_h[sel_np]]),
             jnp.asarray(np.asarray(scene.bvh_tri_rows)[sel_np]),
+            guard,
         )
-    sel, local, sub_inst, rows = _CHANGED_CACHE[key]
+    sel, local, sub_inst, rows, _guard = _CHANGED_CACHE[key]
 
     tf_all = jnp.asarray(transforms, jnp.float32)
     tf = tf_all[jnp.asarray(changed)]

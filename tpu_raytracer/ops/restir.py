@@ -32,6 +32,7 @@ from . import path_trace
 MAX_M_TEMPORAL = 16   # restir.wgsl:851
 MAX_M_SPATIAL = 20    # restir_spatial.wgsl:893,989
 MAX_W = 20.0          # restir_spatial.wgsl:1005
+RES_COLS = 12         # packed reservoir row width (pack_reservoirs)
 
 
 def make_ctx(width: int, height: int, y0=0, band_h=None,
@@ -345,10 +346,119 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         over, res["w_sum"] * MAX_M_SPATIAL / jnp.maximum(res["M"], 1), res["w_sum"])
     res["M"] = jnp.minimum(res["M"], MAX_M_SPATIAL)
 
-    # The 5 disk taps run as a lax.scan (identical sequential semantics
-    # to the unrolled loop): at 4K each tap's gathered neighbor rows are
-    # ~2.8 GB, and the unrolled form kept several live at once - the
-    # difference between fitting in 15.75 GB of HBM and OOM.
+    # Tap batching (default on for non-huge frames): all 5 disk taps'
+    # neighbor reads, Jacobians and shadow rays are prepared up front and
+    # their visibility re-checks ride ONE any-hit traversal (5R rays,
+    # pixel-interleaved so a ray block covers ~BR/5 pixels' worth of taps
+    # with shared origins -> shared chunk worklists) instead of 5
+    # separate traversal calls inside the scan, each paying the fixed
+    # per-call sweep cost (PERF.md).
+    #
+    # RNG NOTE: the reference draws the reservoir-update rnd only AFTER
+    # the tap passes its visibility trace (restir_spatial.wgsl:993 -
+    # `update_reservoir(.., rand_lcg(..))` sits below `if !visible {
+    # continue; }`), so tap i+1's position draws depend on tap i's trace
+    # result. The batched path advances that one draw when the tap
+    # REACHES the visibility test (shadow_active) instead, discarding it
+    # if blocked - every draw is an independent uniform either way, so
+    # the resampling distribution and the converged image are unchanged
+    # (tests/test_render.py::test_tap_batch_converges_same); only the
+    # per-sample noise realization differs from the reference stream.
+    # ctx["tap_batch"]=False keeps the reference-exact sequential order.
+    #
+    # DEFAULT OFF (measured, v5e 512^2 Cornell): batched 7.71 Mrays/s vs
+    # sequential 8.15 - the one 5R-wide call saves less than its stacked
+    # [5, R, ...] tap materialization + interleave transposes cost,
+    # because the sequential taps' five any-hit calls are already cheap
+    # (~31 ms for the whole tap block incl. gathers; the per-call floor
+    # the batching targets shrank in r2's major-dim feat fix). Kept as a
+    # knob: scenes with expensive occlusion (dense geometry) may flip.
+    import os
+
+    tap_batch = ctx.get(
+        "tap_batch",
+        os.environ.get("TPU_RT_TAP_BATCH", "0") != "0"
+        and gx.shape[0] <= 4 * 1024 * 1024)
+
+    def tap_prep(carry, i):
+        """Draws + neighbor read + full pre-visibility gauntlet for tap i
+        (everything except the trace). Returns the tap's merge operands
+        and its shadow ray."""
+        local_seed = carry
+        it_active = valid & (i < num_neighbors)
+        local_seed, r1 = rng.rand_lcg_if(local_seed, it_active)
+        local_seed, r2 = rng.rand_lcg_if(local_seed, it_active)
+        angle = 2.0 * jnp.pi * r1
+        rad = jnp.sqrt(r2) * radius
+        ox = (jnp.cos(angle) * rad).astype(jnp.int32)
+        oy = (jnp.sin(angle) * rad).astype(jnp.int32)
+        nx = gx + ox
+        ny = gy + oy
+
+        comb_rows, cov = comb_view.read(ny, nx)
+        ngb = unpack_gb(comb_rows[..., :GB_COLS])
+        ok = it_active & cov & ngb["valid"]
+        n_pos = ngb["pos"]
+        n_norm = math3d.oct_decode(ngb["oct_normal"])
+        ok &= _is_valid_neighbor_spatial(
+            scene, pos, normal, mat_id, n_pos, n_norm, ngb["mat_id"],
+            camera_pos)
+
+        nbres = unpack_reservoirs(comb_rows[..., GB_COLS:])
+        ok &= nbres["p_hat"] > 0.0
+        jac = _calculate_jacobian(pos, normal, albedo, nbres["s_path"],
+                                  n_pos, n_norm, ngb["albedo"])
+        ok &= ~(is_specular & ((jac < 0.5) | (jac > 2.0)))
+
+        dir_to_v1 = nbres["s_path"] - pos
+        dist_to_v1 = math3d.length(dir_to_v1)
+        facing = math3d.dot(normal, dir_to_v1) > 0.0
+        shadow_active = ok & facing & (dist_to_v1 > 1e-3)
+        local_seed, rnd = rng.rand_lcg_if(local_seed, shadow_active)
+        tap = {
+            "nb_y": nbres["y"],
+            "m_new": jnp.minimum(nbres["M"], MAX_M_SPATIAL),
+            "p_hat_corr": nbres["p_hat"] * jac,
+            "nb_w": nbres["W"],
+            "nb_spath": nbres["s_path"],
+            "shadow_active": shadow_active,
+            "dir": dir_to_v1 / jnp.maximum(dist_to_v1, 1e-12)[:, None],
+            "t_max": jnp.maximum(dist_to_v1 * 0.999, 0.0),
+            "rnd": rnd,
+        }
+        return local_seed, tap
+
+    if tap_batch:
+        local_seed, taps = jax.lax.scan(
+            tap_prep, local_seed, jnp.arange(5, dtype=jnp.int32))
+        r_lanes = gx.shape[0]
+        # pixel-interleaved [5R] stream: pixel p's 5 taps are adjacent
+        act5 = jnp.swapaxes(taps["shadow_active"], 0, 1).reshape(-1)
+        blocked5 = scene_occluded(
+            scene,
+            jnp.broadcast_to(pos[:, None, :], (r_lanes, 5, 3)).reshape(-1, 3),
+            jnp.swapaxes(taps["dir"], 0, 1).reshape(-1, 3),
+            1e-3, jnp.swapaxes(taps["t_max"], 0, 1).reshape(-1),
+            active=act5, reorder=ctx.get("reorder", "none"))
+        blocked = jnp.swapaxes(blocked5.reshape(r_lanes, 5), 0, 1)  # [5, R]
+        ray_count = jnp.sum(act5.astype(jnp.float32))
+
+        def merge(res, x):
+            tap, blk = x
+            ok = tap["shadow_active"] & ~blk
+            weight = (tap["p_hat_corr"] * tap["nb_w"]
+                      * tap["m_new"].astype(jnp.float32))
+            res = _update_reservoir(res, ok, tap["nb_y"], weight,
+                                    tap["rnd"], tap["m_new"],
+                                    tap["p_hat_corr"], tap["nb_spath"],
+                                    jnp.zeros((3,), jnp.float32)[None],
+                                    jnp.bool_(False))
+            return res, None
+
+        res, _ = jax.lax.scan(merge, res, (taps, blocked))
+        return _spatial_finalize(scene, gb, res, camera_pos, valid,
+                                 ray_count, ctx)
+
     def tap(carry, i):
         res, local_seed, ray_count = carry
         it_active = valid & (i < num_neighbors)
@@ -414,12 +524,17 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
     (res, local_seed, ray_count), _ = jax.lax.scan(
         tap, (res, local_seed, jnp.float32(0.0)),
         jnp.arange(5, dtype=jnp.int32))
+    return _spatial_finalize(scene, gb, res, camera_pos, valid, ray_count,
+                             ctx)
 
-    # Finalize: replay winning seed + shade (restir_spatial.wgsl:996-1015).
-    # Replay dedup: the replay is deterministic in (gb, seed), so lanes
-    # whose winner carries a valid cache (own candidate, or a temporal
-    # winner under a static frame) skip the trace entirely - the masked
-    # lanes cost ~nothing in the blocked intersector (dead-block skip).
+
+def _spatial_finalize(scene, gb, res, camera_pos, valid, ray_count, ctx):
+    """Replay winning seed + shade (restir_spatial.wgsl:996-1015).
+
+    Replay dedup: the replay is deterministic in (gb, seed), so lanes
+    whose winner carries a valid cache (own candidate, or a temporal
+    winner under a static frame) skip the trace entirely - the masked
+    lanes cost ~nothing in the blocked intersector (dead-block skip)."""
     cached = res["rad_ok"]
     final = path_trace.trace_path(scene, gb, camera_pos, res["y"],
                                   active=~cached,

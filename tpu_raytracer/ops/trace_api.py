@@ -75,7 +75,8 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
 
     `reorder` ("none" | "live" | "bins") permutes the ray stream before
     blocking (ops/compaction.py) - a pure performance knob; results are
-    bit-identical across modes.
+    identical across modes up to exact-t ties between triangles in
+    different chunks (see ops/compaction.py).
     """
     if scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS:
         if jax.default_backend() == "tpu":

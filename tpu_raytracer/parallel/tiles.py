@@ -72,6 +72,15 @@ def make_render_frame_tiled(mesh: Mesh, width: int, height: int,
     n_dev = mesh.devices.size
     assert height % n_dev == 0, "height must divide evenly into row bands"
     band_h = height // n_dev
+    if band_h < halo:
+        import warnings
+
+        warnings.warn(
+            f"row bands of {band_h} px are shorter than the {halo} px halo "
+            f"({n_dev} devices x {height} px): spatial-ReSTIR taps and post "
+            "stencils beyond the band drop their reuse for those lanes. "
+            f"Use height >= {halo * n_dev} for full-quality output.",
+            stacklevel=2)
     halo = min(halo, band_h)
 
     def per_band(scene, camera, frame_count, state, static_ok):

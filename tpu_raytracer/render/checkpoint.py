@@ -23,8 +23,12 @@ def save(path: str, state: dict, frame_count: int, camera_state: dict,
     camera_state: {"position": [3], "yaw": f, "pitch": f,
                    "prev_view_proj": [4,4] or None}
     """
+    from ..ops.gbuffer import GB_COLS
+    from ..ops.restir import RES_COLS
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     meta = {
+        "format": {"gb_cols": GB_COLS, "res_cols": RES_COLS},
         "frame_count": int(frame_count),
         "camera": {
             "position": np.asarray(camera_state["position"]).tolist(),
@@ -52,10 +56,25 @@ def save(path: str, state: dict, frame_count: int, camera_state: dict,
 
 
 def load(path: str) -> tuple:
-    """Returns (state dict of numpy arrays, frame_count, camera_state)."""
+    """Returns (state dict of numpy arrays, frame_count, camera_state).
+
+    Raises ValueError on a checkpoint whose packed-row layout predates the
+    current format (e.g. pre-dedup 8-column reservoirs) instead of letting
+    a silently-clamped slice surface later as an unrelated shape error.
+    """
+    from ..ops.gbuffer import GB_COLS
+    from ..ops.restir import RES_COLS
+
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
         state = {k: z[k] for k in z.files if k != "meta"}
+    fmt = meta.get("format")
+    want = {"gb_cols": GB_COLS, "res_cols": RES_COLS}
+    if fmt != want:
+        raise ValueError(
+            f"checkpoint {path!r} has packed-row format {fmt} but this "
+            f"build expects {want} - it was written by an incompatible "
+            "version; re-render rather than resuming")
     cam = meta["camera"]
     camera_state = {
         "position": np.asarray(cam["position"], np.float32),
