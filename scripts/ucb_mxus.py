@@ -80,6 +80,23 @@ def main():
                 agree = float((np.abs(tt - base) < 1e-3 * (1 + base)).mean())
             print(f"  {mode:6s} {dt:8.2f} ms  t_agree={agree:.4f}")
 
+        # any-hit (occlusion) streamed variant: early all-occluded exit,
+        # no argmin/division (r3). t_max bounded like NEE shadow rays.
+        fn_any = jax.jit(
+            lambda o, d: pallas_trace.trace_brute_pallas(
+                scene.tri_planes, scene.chunk_aabb, o, d, 1e-3, 2.0,
+                any_hit=True, kernel="mxuf2")["tri"] >= 0)
+        hit = fn_any(ro, rd)
+        jax.block_until_ready(hit)
+        o = ro
+        t0 = time.time()
+        for _ in range(8):
+            hit = fn_any(o, rd)
+            o = o + jnp.where(hit[:1], 1e-9, 2e-9)
+        jax.block_until_ready(hit)
+        dt = (time.time() - t0) / 8 * 1e3
+        print(f"  anyhit {dt:8.2f} ms  occluded={float(hit.mean()):.3f}")
+
 
 if __name__ == "__main__":
     main()

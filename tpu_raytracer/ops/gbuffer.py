@@ -58,7 +58,8 @@ def render_gbuffer(scene, camera, width: int, height: int, y0=0,
     res = scene_trace(scene, ray_o, ray_d, T_MIN, T_MAX)
     valid = res["tri"] >= 0
 
-    h = reconstruct_hit(scene, res["tri"], ray_o, ray_d, res["t"])
+    h = reconstruct_hit(scene, res["tri"], ray_o, ray_d, res["t"],
+                        inst_id=res.get("inst"))
     mat = gather_material(scene, h["mat_id"])
 
     base_color = mat["base_color"][:, :3]

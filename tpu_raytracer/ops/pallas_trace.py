@@ -209,16 +209,14 @@ def mt_coef48(tri_planes, group: int = 1):
     return jnp.concatenate([hi, lo, hi], axis=0)       # [48, NG*grp*4CT]
 
 
-def _feat48(rays):
-    """Rays [8, BR] -> fused bf16 feature matrix [48, BR] =
+def _feat48_from(ox, oy, oz, dx, dy, dz):
+    """Ray components [BR] -> fused bf16 feature matrix [48, BR] =
     [f_hi ; f_hi ; f_lo] stacked along the MAJOR (sublane) dim - every
     row is a full-lane [BR] vector, so the stack/split/concat are cheap
     sublane writes. (The earlier [BR, 48] minor-dim layout cost ~3.3 ms
     per 262k-ray call in Mosaic relayouts - BR-invariant, i.e. per
     element - and dominated dead sweeps; PERF.md.) Pairs with
     mt_coef48's row blocks via a dim-0 contraction in `_dot48`."""
-    ox, oy, oz = rays[0], rays[1], rays[2]
-    dx, dy, dz = rays[3], rays[4], rays[5]
     one = jnp.ones_like(ox)
     feat = jnp.stack([
         ox * dx, ox * dy, ox * dz,
@@ -228,6 +226,11 @@ def _feat48(rays):
     ], axis=0)                                        # [16, BR]
     f_hi, f_lo = _split_bf16_kernel(feat)
     return jnp.concatenate([f_hi, f_hi, f_lo], axis=0)
+
+
+def _feat48(rays):
+    return _feat48_from(rays[0], rays[1], rays[2],
+                        rays[3], rays[4], rays[5])
 
 
 def _dot48(feat_t, coef):
@@ -575,6 +578,69 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
     @pl.when(n_live > 0)
     def _():
         start_copy(0, 0)
+
+    if not early:
+        # CARRY-based loop (no per-unit ref round-trips / scalar branch -
+        # those cost ~60% per unit when termination never fires, measured
+        # on random rays, scripts/ucb_mxus.py r3). Short worklists take
+        # this path; long entry-sorted ones take the early path below.
+        def sweep_cols(prod, g, t_best, idx_best, hit_acc):
+            for k in range(grp):
+                o = k * 4 * CT
+                det = prod[:, o:o + CT]
+                u_n = prod[:, o + CT:o + 2 * CT]
+                v_n = prod[:, o + 2 * CT:o + 3 * CT]
+                t_n = prod[:, o + 3 * CT:o + 4 * CT]
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                d_abs = det * sgn
+                ok = d_abs > _MT_EPS
+                u2 = u_n * sgn
+                v2 = v_n * sgn
+                if any_hit:
+                    tn2 = t_n * sgn
+                    hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
+                           & (u2 + v2 <= d_abs)
+                           & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
+                    hit_acc = jnp.maximum(
+                        hit_acc, jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
+                else:
+                    t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+                    hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
+                           & (u2 + v2 <= d_abs)
+                           & (t_val > t_min) & (t_val < t_max)
+                           & (t_val < t_best[:, None]))
+                    t_cand = jnp.where(hit, t_val, INF)
+                    best_lane = jnp.argmin(t_cand, axis=1)
+                    t_new = jnp.min(t_cand, axis=1)
+                    improved = t_new < t_best
+                    t_best = jnp.where(improved, t_new, t_best)
+                    idx_best = jnp.where(
+                        improved, (g * grp + k) * CT + best_lane, idx_best)
+            return t_best, idx_best, hit_acc
+
+        def group_c(i, carry):
+            t_best, idx_best, hit_acc = carry
+
+            @pl.when(i + 1 < n_live)
+            def _():
+                start_copy(i + 1, (i + 1) % 2)
+
+            wait_copy(i % 2)
+            g = list_ref[i, b] if use_worklist else i
+            prod = _dot48(feat, buf_ref[i % 2])
+            return sweep_cols(prod, g, t_best, idx_best, hit_acc)
+
+        init = (jnp.full((BR,), INF, jnp.float32),
+                jnp.full((BR,), -1, jnp.int32),
+                jnp.zeros((BR,), jnp.float32))
+        t_best, idx_best, hit_acc = jax.lax.fori_loop(
+            0, n_live, group_c, init)
+        if any_hit:
+            idx_ref[0, :] = jnp.where(hit_acc > 0.0, 1, -1).astype(jnp.int32)
+        else:
+            t_ref[0, :] = jnp.where(live0, t_best, 0.0)
+            idx_ref[0, :] = idx_best
+        return
 
     def group(i, carry):
         @pl.when(done_ref[0] == 0)
@@ -1212,3 +1278,389 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
         "t": jnp.where(missed, jnp.float32(INF), t[0, :r]),
         "tri": idx[0, :r],
     }
+
+
+# ---------------------------------------------------------------------------
+# Two-level INSTANCED intersector (shared-BLAS analogue, builder.rs:143-189 +
+# TLAS update :454-468): ONE object-space coefficient block per mesh, shared
+# by every instance; rays are transformed into object space INSIDE the kernel
+# with UNNORMALIZED directions, so the hit parameter t is identical in both
+# spaces and needs no rescaling. 100 instances of one mesh cost ~1x the mesh
+# memory, and moving an instance re-computes only its inverse affine + world
+# AABB (no triangle/coefficient rebuild - real TLAS-update economics).
+#
+# Culling is two-level, mirroring TLAS/BLAS:
+#   * XLA prepass: per-block slab tests against INSTANCE world AABBs,
+#     packed into a per-block instance BITMASK ([I/32, nb] i32 SMEM - a
+#     per-unit id list would blow SMEM at gallery scale);
+#   * in-kernel: per grp-chunk group, an object-space slab test over the
+#     block's transformed rays guards each MXU sweep (pl.when).
+# ---------------------------------------------------------------------------
+
+INST_GRP = 2   # chunks per dot group in the instanced kernel
+
+
+def pack_triangles_instanced(mesh_tris, grp: int = INST_GRP):
+    """Per-MESH object-space packing for the two-level instanced sweep.
+
+    mesh_tris: list of (v0 [t,3], e1, e2) per mesh. Each mesh is padded to
+    a multiple of grp*CT triangles so neither 128-tri chunks nor grp-wide
+    dot groups span meshes (zero coef = det 0 = never hits).
+
+    Returns (planes [4,3,TpO], gaabb [8, NGO] object group AABBs
+    TRANSPOSED for SMEM (minor dim is padded to 128 there), spans
+    [2, NMesh] i32 = (first group, group count) per mesh).
+    """
+    unit = grp * CT
+    planes_list, aabb_cols, spans = [], [], []
+    g0 = 0
+    for v0, e1, e2 in mesh_tris:
+        t = v0.shape[0]
+        tp = max(((t + unit - 1) // unit) * unit, unit)
+        p = np.zeros((4, 3, tp), np.float32)
+        p[0, :, :t] = v0.T
+        p[1, :, :t] = e1.T
+        p[2, :, :t] = e2.T
+        p[3, 0, :t] = 1.0
+        planes_list.append(p)
+        ng = tp // unit
+        v1 = v0 + e1
+        v2 = v0 + e2
+        mn = np.minimum(np.minimum(v0, v1), v2)
+        mx = np.maximum(np.maximum(v0, v1), v2)
+        for g in range(ng):
+            lo, hi = g * unit, min((g + 1) * unit, t)
+            if lo < hi:
+                box = np.concatenate([mn[lo:hi].min(axis=0),
+                                      mx[lo:hi].max(axis=0),
+                                      np.zeros(2, np.float32)])
+            else:
+                box = np.concatenate([np.full(3, INF, np.float32),
+                                      np.full(3, -INF, np.float32),
+                                      np.zeros(2, np.float32)])
+            aabb_cols.append(box.astype(np.float32))
+        spans.append((g0, ng))
+        g0 += ng
+    planes = np.concatenate(planes_list, axis=2)
+    gaabb = np.stack(aabb_cols, axis=1).astype(np.float32)   # [8, NGO]
+    spans = np.asarray(spans, np.int32).T                    # [2, NM]
+    return planes, gaabb, spans
+
+
+def _mt_kernel_inst(mask_ref, rays_ref, affine_ref, span_ref, gaabb_ref,
+                    coef_ref, t_ref, idx_ref, inst_ref, done_ref, *,
+                    num_inst, any_hit, grp=INST_GRP):
+    """Two-level instanced sweep: outer loop over instances (bitmask
+    culled), rays transformed per instance (per-lane cost ~1/100th of one
+    group sweep), inner loop over the instance's object chunk groups with
+    an object-space slab guard per group. Winner is (object tri, inst).
+    """
+    rays = rays_ref[:]
+    t_minl = rays[6]
+    t_maxl = rays[7]
+    live0 = t_maxl > 0.0
+    inactive = jnp.where(live0, 0.0, 1.0)
+    t_min2 = t_minl[:, None]
+    t_max2 = t_maxl[:, None]
+    b = pl.program_id(0)
+    cols = grp * 4 * CT
+
+    if any_hit:
+        t_ref[0, :] = t_maxl
+    else:
+        t_ref[0, :] = jnp.where(live0, INF, 0.0)
+    idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
+    inst_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
+    done_ref[0] = jnp.int32(0)
+
+    wox, woy, woz = rays[0], rays[1], rays[2]
+    wdx, wdy, wdz = rays[3], rays[4], rays[5]
+
+    def inst_body(i, carry):
+        word = mask_ref[i // 32, b]
+        bit = jax.lax.shift_right_logical(word, i % 32) & 1
+
+        @pl.when((bit != 0) & (done_ref[0] == 0))
+        def _():
+            a00 = affine_ref[0, i]
+            a01 = affine_ref[1, i]
+            a02 = affine_ref[2, i]
+            a10 = affine_ref[3, i]
+            a11 = affine_ref[4, i]
+            a12 = affine_ref[5, i]
+            a20 = affine_ref[6, i]
+            a21 = affine_ref[7, i]
+            a22 = affine_ref[8, i]
+            b0 = affine_ref[9, i]
+            b1 = affine_ref[10, i]
+            b2 = affine_ref[11, i]
+            ox = a00 * wox + a01 * woy + a02 * woz + b0
+            oy = a10 * wox + a11 * woy + a12 * woz + b1
+            oz = a20 * wox + a21 * woy + a22 * woz + b2
+            dx = a00 * wdx + a01 * wdy + a02 * wdz
+            dy = a10 * wdx + a11 * wdy + a12 * wdz
+            dz = a20 * wdx + a21 * wdy + a22 * wdz
+            feat = _feat48_from(ox, oy, oz, dx, dy, dz)
+            inv_x = 1.0 / _nonzero(dx)
+            inv_y = 1.0 / _nonzero(dy)
+            inv_z = 1.0 / _nonzero(dz)
+            base = span_ref[0, i]
+            cnt = span_ref[1, i]
+
+            def grp_body(j, c):
+                g = base + j
+                cur = t_ref[0, :]
+                hi_lane = jnp.minimum(t_maxl, cur) if not any_hit else t_maxl
+                ax = (gaabb_ref[0, g] - ox) * inv_x
+                bx = (gaabb_ref[3, g] - ox) * inv_x
+                ay = (gaabb_ref[1, g] - oy) * inv_y
+                by = (gaabb_ref[4, g] - oy) * inv_y
+                az = (gaabb_ref[2, g] - oz) * inv_z
+                bz = (gaabb_ref[5, g] - oz) * inv_z
+                t_in = jnp.maximum(
+                    jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+                    jnp.maximum(jnp.minimum(az, bz), t_minl))
+                t_out = jnp.minimum(
+                    jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+                    jnp.minimum(jnp.maximum(az, bz), hi_lane))
+                touched = (t_in <= t_out) & live0
+                box_any = jnp.max(jnp.where(touched, 1.0, 0.0)) > 0.0
+
+                @pl.when(box_any)
+                def _():
+                    prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
+                    if any_hit:
+                        hit_acc = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
+                        for k in range(grp):
+                            o = k * 4 * CT
+                            det = prod[:, o:o + CT]
+                            u_n = prod[:, o + CT:o + 2 * CT]
+                            v_n = prod[:, o + 2 * CT:o + 3 * CT]
+                            t_n = prod[:, o + 3 * CT:o + 4 * CT]
+                            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                            d_abs = det * sgn
+                            ok = d_abs > _MT_EPS
+                            u2 = u_n * sgn
+                            v2 = v_n * sgn
+                            tn2 = t_n * sgn
+                            hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
+                                   & (u2 + v2 <= d_abs)
+                                   & (tn2 > t_min2 * d_abs)
+                                   & (tn2 < t_max2 * d_abs))
+                            hit_acc = jnp.maximum(
+                                hit_acc,
+                                jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
+                        idx_ref[0, :] = jnp.where(
+                            hit_acc > 0.0, 1, -1).astype(jnp.int32)
+                        inst_ref[0, :] = jnp.where(
+                            hit_acc > 0.0,
+                            jnp.maximum(inst_ref[0, :], i), inst_ref[0, :])
+                    else:
+                        t_best = t_ref[0, :]
+                        idx_best = idx_ref[0, :]
+                        in_best = inst_ref[0, :]
+                        for k in range(grp):
+                            o = k * 4 * CT
+                            det = prod[:, o:o + CT]
+                            u_n = prod[:, o + CT:o + 2 * CT]
+                            v_n = prod[:, o + 2 * CT:o + 3 * CT]
+                            t_n = prod[:, o + 3 * CT:o + 4 * CT]
+                            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                            d_abs = det * sgn
+                            ok = d_abs > _MT_EPS
+                            u2 = u_n * sgn
+                            v2 = v_n * sgn
+                            t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+                            hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
+                                   & (u2 + v2 <= d_abs)
+                                   & (t_val > t_min2) & (t_val < t_max2)
+                                   & (t_val < t_best[:, None]))
+                            t_cand = jnp.where(hit, t_val, INF)
+                            best_lane = jnp.argmin(t_cand, axis=1)
+                            t_new = jnp.min(t_cand, axis=1)
+                            improved = t_new < t_best
+                            t_best = jnp.where(improved, t_new, t_best)
+                            idx_best = jnp.where(
+                                improved, (g * grp + k) * CT + best_lane,
+                                idx_best)
+                            in_best = jnp.where(improved, i, in_best)
+                        t_ref[0, :] = t_best
+                        idx_ref[0, :] = idx_best
+                        inst_ref[0, :] = in_best
+                return c
+
+            jax.lax.fori_loop(0, cnt, grp_body, jnp.int32(0))
+            if any_hit:
+                occ = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
+                done_ref[0] = (jnp.min(jnp.maximum(occ, inactive))
+                               > 0.0).astype(jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(0, num_inst, inst_body, jnp.int32(0))
+
+
+def _rays_padded(ray_o, ray_d, t_min, t_max, active, r, rp):
+    """[8, rp] transposed ray table (no padded [rp, 8] materialization)."""
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    rays = jnp.concatenate(
+        [ray_o.T, ray_d.T, t_min[None], t_max[None]], axis=0)
+    if rp > r:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((8, rp - r), jnp.float32)], axis=1)
+    return rays
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "grp"))
+def trace_instanced_pallas(obj_planes, obj_gaabb, inst_affine_inv,
+                           inst_group_span, inst_aabb, ray_o, ray_d,
+                           t_min, t_max, any_hit: bool = False, active=None,
+                           grp: int = INST_GRP):
+    """Two-level instanced closest-hit / any-hit.
+
+    Args:
+      obj_planes:      [4, 3, TpO] object-space planes (shared per mesh).
+      obj_gaabb:       [8, NGO] object-space group AABBs (transposed).
+      inst_affine_inv: [12, I] rows = world->object affine (A^-1 | b).
+      inst_group_span: [2, I] i32 (group base, count) of each instance's
+                       mesh in the object layout.
+      inst_aabb:       [I, 8] instance WORLD AABBs (prepass culling;
+                       refit updates these).
+    Returns dict(t, tri (OBJECT triangle id), inst).
+    """
+    r = ray_o.shape[0]
+    rp = max(((r + BR - 1) // BR) * BR, BR)
+    rays = _rays_padded(ray_o, ray_d, t_min, t_max, active, r, rp)
+    nb = rp // BR
+    n_inst = inst_aabb.shape[0]
+
+    # --- prepass: block x instance world AABB slab -> bitmask [W, nb] ---
+    eps = 1e-12
+    tmin_nb = rays[6].reshape(1, nb, BR)
+    tmax_nb = rays[7].reshape(1, nb, BR)
+    t_lo = jnp.broadcast_to(tmin_nb, (n_inst, nb, BR))
+    t_hi = jnp.broadcast_to(tmax_nb, (n_inst, nb, BR))
+    for k in range(3):
+        d_k = rays[3 + k]
+        inv_k = (1.0 / jnp.where(jnp.abs(d_k) < eps,
+                                 jnp.where(d_k < 0, -eps, eps), d_k)
+                 ).reshape(1, nb, BR)
+        o_k = rays[k].reshape(1, nb, BR)
+        lo_k = (inst_aabb[:, k][:, None, None] - o_k) * inv_k
+        hi_k = (inst_aabb[:, k + 3][:, None, None] - o_k) * inv_k
+        t_lo = jnp.maximum(t_lo, jnp.minimum(lo_k, hi_k))
+        t_hi = jnp.minimum(t_hi, jnp.maximum(lo_k, hi_k))
+    hit_blk = jnp.any((t_lo <= t_hi) & (tmax_nb > 0.0), axis=2)  # [I, nb]
+    w = (n_inst + 31) // 32
+    pad_i = w * 32 - n_inst
+    if pad_i:
+        hit_blk = jnp.concatenate(
+            [hit_blk, jnp.zeros((pad_i, nb), jnp.bool_)], axis=0)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    mask = (hit_blk.reshape(w, 32, nb).astype(jnp.uint32)
+            * weights[None, :, None]).sum(axis=1, dtype=jnp.uint32)
+    mask = jax.lax.bitcast_convert_type(mask, jnp.int32)         # [W, nb]
+
+    coef = mt_coef48(obj_planes, group=grp)
+    kern = functools.partial(_mt_kernel_inst, num_inst=n_inst,
+                             any_hit=any_hit, grp=grp)
+    interpret = jax.default_backend() != "tpu"
+    t, idx, inst = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((w, nb), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(inst_affine_inv.shape, lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(inst_group_span.shape, lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(obj_gaabb.shape, lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(coef.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BR), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )(mask, rays, inst_affine_inv, inst_group_span, obj_gaabb, coef)
+
+    missed = idx[0, :r] < 0
+    return {
+        "t": jnp.where(missed, jnp.float32(INF), t[0, :r]),
+        "tri": idx[0, :r],
+        "inst": inst[0, :r],
+    }
+
+
+def _trace_instanced_xla(obj_planes, unit_inst, unit_group,
+                         inst_affine_inv, ray_o, ray_d, t_min, t_max,
+                         any_hit=False, active=None, grp: int = INST_GRP):
+    """Compiled (non-Pallas) instanced brute force for CPU backends: scan
+    over (instance, chunk-group) units; rays transformed per unit.
+    Semantics == the instanced pallas kernel."""
+    r = ray_o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    unit = grp * CT
+    tri = jnp.moveaxis(
+        obj_planes.reshape(4, 3, obj_planes.shape[2] // unit, unit),
+        2, 0)                                           # [NU_obj, 4, 3, unit]
+
+    def body(carry, xs):
+        t_best, idx_best, inst_best = carry
+        inst_id, g = xs
+        aff = inst_affine_inv[:, inst_id]               # [12]
+        a = aff[:9].reshape(3, 3)
+        bvec = aff[9:12]
+        o = ray_o @ a.T + bvec
+        d = ray_d @ a.T
+        chunk = tri[g]
+        v0 = chunk[0].T[None]
+        e1 = chunk[1].T[None]
+        e2 = chunk[2].T[None]
+        valid_t = chunk[3, 0] > 0.5
+        pvec = jnp.cross(d[:, None, :], e2)
+        det = jnp.sum(e1 * pvec, -1)
+        ok = jnp.abs(det) > _MT_EPS
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        tvec = o[:, None, :] - v0
+        u = jnp.sum(tvec * pvec, -1) * inv
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(d[:, None, :] * qvec, -1) * inv
+        t = jnp.sum(e2 * qvec, -1) * inv
+        hit = (ok & valid_t[None] & (u >= 0) & (v >= 0) & (u + v <= 1)
+               & (t > t_min[:, None]) & (t < t_max[:, None])
+               & (t < t_best[:, None]))
+        t_cand = jnp.where(hit, t, jnp.float32(INF))
+        lane = jnp.argmin(t_cand, axis=1)
+        rr = jnp.arange(r)
+        t_new = t_cand[rr, lane]
+        improved = t_new < t_best
+        t_best = jnp.where(improved, t_new, t_best)
+        idx_best = jnp.where(improved,
+                             g * unit + lane.astype(jnp.int32), idx_best)
+        inst_best = jnp.where(improved, inst_id, inst_best)
+        return (t_best, idx_best, inst_best), None
+
+    init = (jnp.full((r,), INF, jnp.float32),
+            jnp.full((r,), -1, jnp.int32),
+            jnp.full((r,), -1, jnp.int32))
+    (t_best, idx_best, inst_best), _ = jax.lax.scan(
+        body, init, (unit_inst, unit_group))
+    missed = idx_best < 0
+    return {"t": jnp.where(missed, jnp.float32(INF), t_best),
+            "tri": idx_best, "inst": inst_best}

@@ -255,6 +255,8 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         ray_count=ray_count, depth=jnp.int32(1),
         res_t=res_pending["t"], res_tri=res_pending["tri"],
     )
+    if scene.instanced:
+        carry["res_inst"] = res_pending["inst"]
 
     def body(c):
         depth = c["depth"]
@@ -285,7 +287,8 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         ray_count = c["ray_count"] + jnp.sum(active.astype(jnp.float32))
         active = active & (res["tri"] >= 0)
 
-        h = reconstruct_hit(scene, res["tri"], origin, next_dir, res["t"])
+        h = reconstruct_hit(scene, res["tri"], origin, next_dir, res["t"],
+                            inst_id=c.get("res_inst"))
 
         # reconnection vertex (restir.wgsl:624-629)
         first = active & (depth == 1)
@@ -373,7 +376,7 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         accumulated = accumulated + jnp.where(
             nee_mask[:, None], _nee_apply(s_pre, blocked), 0.0) * thr_pre
 
-        return dict(
+        out = dict(
             state=state, active=active, accumulated=accumulated,
             throughput=throughput, origin=origin_n,
             next_dir=sc["wi"], last_bsdf_pdf=sc["pdf"],
@@ -382,6 +385,9 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
             ray_count=ray_count, depth=depth + 1,
             res_t=res_n["t"], res_tri=res_n["tri"],
         )
+        if scene.instanced:
+            out["res_inst"] = res_n["inst"]
+        return out
 
     # while_loop so a wavefront whose lanes have ALL terminated skips the
     # remaining depths entirely (per-lane results identical to a full

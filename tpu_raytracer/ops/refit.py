@@ -56,6 +56,13 @@ def update_instances(scene, transforms, changed=None, repack=False):
     alone preserves order (boxes grow with deformation); repack restores
     spatial coherence at the cost of an on-device sort.
     """
+    if scene.instanced:
+        # Two-level mode: geometry is object-space and SHARED, so moving
+        # instances is a pure O(I) transform-table update - the real
+        # TLAS-update economics of builder.rs:454-468. `changed`/`repack`
+        # are no-ops here (the whole update is already instance-count
+        # sized and the object blocks never need re-sorting).
+        return _update_instanced(scene, transforms)
     if repack:
         from .lbvh import morton_reorder
 
@@ -129,6 +136,45 @@ def update_instances(scene, transforms, changed=None, repack=False):
         chunk_aabb=chunk_aabb,
         tri_table=tri_table,
         bvh_rec=rec,
+        inst_transform=jnp.asarray(transforms, jnp.float32)[:, :3, :4],
+        inst_normal_mat=nm,
+    )
+
+
+@jax.jit
+def _update_instanced(scene, transforms):
+    """Instanced-scene refit: rebuild inst_table / inst_affine_inv /
+    inst_aabb from new object->world affines. O(instances) device work;
+    object triangle blocks and their coefficients are untouched."""
+    a, t, nm = _affine(transforms)
+    n_i = a.shape[0]
+    a_inv = jnp.linalg.inv(a)
+    b = -jnp.einsum("iab,ib->ia", a_inv, t)
+    det = jnp.linalg.det(a)
+    detsign = jnp.where(det >= 0.0, 1.0, -1.0)
+    inst_table = jnp.concatenate(
+        [a_inv.reshape(n_i, 9), b, nm.reshape(n_i, 9),
+         detsign[:, None], scene.inst_table[:, 22:23]], axis=1)
+
+    # per-instance OBJECT AABB = union of its mesh's group AABBs
+    # (unit_inst/unit_group enumerate every (instance, group) pair)
+    g = scene.obj_group_aabb                       # [8, NGO]
+    mn_o = jax.ops.segment_min(
+        g[0:3, scene.unit_group].T, scene.unit_inst, num_segments=n_i)
+    mx_o = jax.ops.segment_max(
+        g[3:6, scene.unit_group].T, scene.unit_inst, num_segments=n_i)
+    c_o = (mn_o + mx_o) * 0.5
+    e_o = (mx_o - mn_o) * 0.5
+    c_w = jnp.einsum("iab,ib->ia", a, c_o) + t
+    e_w = jnp.einsum("iab,ib->ia", jnp.abs(a), e_o)
+    inst_aabb = (scene.inst_aabb
+                 .at[:, 0:3].set(c_w - e_w)
+                 .at[:, 3:6].set(c_w + e_w))
+    return dataclasses.replace(
+        scene,
+        inst_table=inst_table,
+        inst_affine_inv=inst_table[:, :12].T,
+        inst_aabb=inst_aabb,
         inst_transform=jnp.asarray(transforms, jnp.float32)[:, :3, :4],
         inst_normal_mat=nm,
     )

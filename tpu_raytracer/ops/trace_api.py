@@ -77,7 +77,21 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
     blocking (ops/compaction.py) - a pure performance knob; results are
     identical across modes up to exact-t ties between triangles in
     different chunks (see ops/compaction.py).
+
+    Instanced scenes (scene.instanced, the shared-BLAS analogue) return
+    an extra "inst" id per lane; callers feed it to hit.reconstruct_hit.
     """
+    if scene.instanced:
+        if jax.default_backend() == "tpu":
+            return pallas_trace.trace_instanced_pallas(
+                scene.tri_planes, scene.obj_group_aabb,
+                scene.inst_affine_inv, scene.inst_group_span,
+                scene.inst_aabb, ray_o, ray_d, t_min, t_max,
+                any_hit=any_hit, active=active, grp=scene.inst_grp)
+        return pallas_trace._trace_instanced_xla(
+            scene.tri_planes, scene.unit_inst, scene.unit_group,
+            scene.inst_affine_inv, ray_o, ray_d, t_min, t_max,
+            any_hit=any_hit, active=active, grp=scene.inst_grp)
     if scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS:
         if jax.default_backend() == "tpu":
             return pallas_trace.trace_brute_pallas(

@@ -207,8 +207,54 @@ class SceneBuilder:
 
     # ---------------- compile ----------------
 
+    def _pack_tables(self):
+        """Materials / lights / textures -> device tables (shared by the
+        flattened and instanced build paths)."""
+        materials = pack_materials(self.materials)
+        m = materials["base_color"].shape[0]
+        mat_table = np.zeros((m, 17), np.float32)
+        mat_table[:, 0:4] = materials["base_color"]
+        mat_table[:, 4:7] = materials["emissive_factor"]
+        mat_table[:, 7] = materials["roughness"]
+        mat_table[:, 8] = materials["metallic"]
+        mat_table[:, 9] = materials["transmission"]
+        mat_table[:, 10] = materials["ior"]
+        mat_table[:, 11] = materials["light_index"]
+        mat_table[:, 12] = materials["tex_id"]
+        mat_table[:, 13] = materials["normal_tex_id"]
+        mat_table[:, 14] = materials["occlusion_tex_id"]
+        mat_table[:, 15] = materials["emissive_tex_id"]
+        mat_table[:, 16] = materials["metallic_roughness_tex_id"]
+
+        from .material import NO_TEXTURE
+
+        channels = []
+        for name, key in (("color", "tex_id"), ("normal", "normal_tex_id"),
+                          ("occlusion", "occlusion_tex_id"),
+                          ("emissive", "emissive_tex_id"),
+                          ("metallic_roughness",
+                           "metallic_roughness_tex_id")):
+            if (materials[key] != NO_TEXTURE).any():
+                channels.append(name)
+        tex_channels = frozenset(channels)
+
+        lights = light_mod.pack_lights(self.lights)
+        nl = lights["position"].shape[0]
+        light_table = np.zeros((nl, 15), np.float32)
+        light_table[:, 0:3] = lights["position"]
+        light_table[:, 3] = lights["type"]
+        light_table[:, 4:7] = lights["u"]
+        light_table[:, 7] = lights["area"]
+        light_table[:, 8:11] = lights["v"]
+        light_table[:, 11:15] = lights["emission"]
+        color_tex = np.stack(self.color_textures).astype(np.float32)
+        data_tex = np.stack(self.data_textures).astype(np.float32)
+        return (materials, mat_table, tex_channels, lights, light_table,
+                color_tex, data_tex)
+
     def build(self, dtype=np.float32,
-              subdivide_max_diag: float | None = None) -> CompiledScene:
+              subdivide_max_diag: float | None = None,
+              instancing: str = "auto") -> CompiledScene:
         """Compile the scene.
 
         subdivide_max_diag: optional fraction of the scene AABB diagonal;
@@ -218,10 +264,39 @@ class SceneBuilder:
         the rendered distribution is unchanged, but per-ray float rounding
         differs, so golden comparisons are not bit-stable across this
         setting. Default off.
+
+        instancing: "auto" | "on" | "off" - two-level shared-BLAS mode
+        (src/scene/builder.rs:143-189 economics): ONE object-space
+        triangle/coefficient block per mesh, instances as transforms
+        only. "auto" enables it when flattening would exceed the brute
+        intersector's triangle cap while the unique meshes fit the
+        VMEM-resident coef budget (the regime where flattening costs
+        instances x mesh memory for no benefit). See
+        ops/pallas_trace.trace_instanced_pallas.
         """
         import jax.numpy as jnp
 
         from ..ops import textures as textures_mod
+        from ..ops.pallas_trace import MXUF_MAX_TP
+
+        if instancing not in ("auto", "on", "off"):
+            raise ValueError(f"instancing={instancing!r}")
+        t_world = sum(self.meshes[m].num_triangles
+                      for m, _, _ in self.instances)
+        used = sorted({m for m, _, _ in self.instances})
+        from ..ops.pallas_trace import CT as _CT
+        from ..ops.pallas_trace import INST_GRP as _IG
+        unit = _IG * _CT
+        tp_obj = sum(max(-(-self.meshes[m].num_triangles // unit), 1) * unit
+                     for m in used)
+        want_instanced = (instancing == "on") or (
+            instancing == "auto" and t_world > 131072
+            and tp_obj <= MXUF_MAX_TP)
+        if want_instanced:
+            if subdivide_max_diag is not None:
+                raise ValueError(
+                    "subdivide_max_diag is a flattened-mode culling aid")
+            return self._build_instanced()
 
         # 1. global concatenated attributes / indices (builder.rs:123-141)
         attr_n, attr_uv, attr_tan, indices = [], [], [], []
@@ -416,49 +491,14 @@ class SceneBuilder:
         if t_total > 0:
             bvh_tri_rows[tree.tri_id[tri_rows]] = tri_rows.astype(np.int32)
 
-        # material table [M, 17] (+ texture-channel presence flags)
-        materials = pack_materials(self.materials)
-        m = materials["base_color"].shape[0]
-        mat_table = np.zeros((m, 17), np.float32)
-        mat_table[:, 0:4] = materials["base_color"]
-        mat_table[:, 4:7] = materials["emissive_factor"]
-        mat_table[:, 7] = materials["roughness"]
-        mat_table[:, 8] = materials["metallic"]
-        mat_table[:, 9] = materials["transmission"]
-        mat_table[:, 10] = materials["ior"]
-        mat_table[:, 11] = materials["light_index"]
-        mat_table[:, 12] = materials["tex_id"]
-        mat_table[:, 13] = materials["normal_tex_id"]
-        mat_table[:, 14] = materials["occlusion_tex_id"]
-        mat_table[:, 15] = materials["emissive_tex_id"]
-        mat_table[:, 16] = materials["metallic_roughness_tex_id"]
-
-        from .material import NO_TEXTURE
-
-        channels = []
-        for name, key in (("color", "tex_id"), ("normal", "normal_tex_id"),
-                          ("occlusion", "occlusion_tex_id"),
-                          ("emissive", "emissive_tex_id"),
-                          ("metallic_roughness", "metallic_roughness_tex_id")):
-            if (materials[key] != NO_TEXTURE).any():
-                channels.append(name)
-        tex_channels = frozenset(channels)
-
-        lights = light_mod.pack_lights(self.lights)
-        nl = lights["position"].shape[0]
-        light_table = np.zeros((nl, 15), np.float32)
-        light_table[:, 0:3] = lights["position"]
-        light_table[:, 3] = lights["type"]
-        light_table[:, 4:7] = lights["u"]
-        light_table[:, 7] = lights["area"]
-        light_table[:, 8:11] = lights["v"]
-        light_table[:, 11:15] = lights["emission"]
-        color_tex = np.stack(self.color_textures).astype(np.float32)
-        data_tex = np.stack(self.data_textures).astype(np.float32)
+        # material / light / texture tables (+ texture-channel flags)
+        (materials, mat_table, tex_channels, lights, light_table,
+         color_tex, data_tex) = self._pack_tables()
 
         i = np.int32
         f = np.float32
         scene = CompiledScene(
+            **_empty_instanced_fields(),
             tri_planes=tri_planes,
             chunk_aabb=chunk_aabb,
             tri_table=tri_table.astype(f),
@@ -500,7 +540,228 @@ class SceneBuilder:
             num_instances=len(self.instances),
             bvh_max_depth=tree.max_depth,
             tex_channels=tex_channels,
+            instanced=False,
+            world_tri_count=0,
+            inst_grp=0,
         )
         import jax
 
         return jax.tree_util.tree_map(jnp.asarray, scene)
+
+    def _build_instanced(self) -> CompiledScene:
+        """Two-level shared-BLAS compile (src/scene/builder.rs:143-189
+        economics, TPU-native realization in
+        ops/pallas_trace.trace_instanced_pallas):
+
+          * ONE object-space triangle/coefficient block per unique mesh
+            (padded to grp*CT so chunk groups never span meshes) - memory
+            is sum-of-unique-meshes, not instances x mesh size;
+          * per-instance world->object affine + world AABB + normal
+            matrix packed into inst_table [I, 23] - moving an instance is
+            a transform update (refit.update_instances instanced branch),
+            the TLAS-update analogue of builder.rs:454-468;
+          * hits return (object tri, instance); ops/hit.py reconstructs
+            attributes in object space and maps them through the
+            instance's normal matrix.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import textures as textures_mod
+        from ..ops.pallas_trace import CT, INST_GRP
+        from ..ops.pallas_trace import pack_triangles_instanced
+
+        unit = INST_GRP * CT
+        i = np.int32
+        f = np.float32
+
+        # 1. global concatenated attributes / indices (API parity with
+        # the flattened path; cheap, and keeps loaders interchangeable)
+        attr_n, attr_uv, attr_tan, indices = [], [], [], []
+        mesh_voff, mesh_ioff = [], []
+        local_v0, local_e1, local_e2 = [], [], []
+        mesh_tri_off = []
+        v_off = i_off = t_off = 0
+        for mesh in self.meshes:
+            mesh_voff.append(v_off)
+            mesh_ioff.append(i_off)
+            mesh_tri_off.append(t_off)
+            attr_n.append(mesh.oct_normals)
+            attr_uv.append(mesh.uvs)
+            attr_tan.append(mesh.tangents)
+            indices.append(mesh.indices.astype(np.int32))
+            tri = mesh.indices.reshape(-1, 3)
+            p = mesh.positions
+            local_v0.append(p[tri[:, 0]])
+            local_e1.append(p[tri[:, 1]] - p[tri[:, 0]])
+            local_e2.append(p[tri[:, 2]] - p[tri[:, 0]])
+            v_off += len(mesh.positions)
+            i_off += len(mesh.indices)
+            t_off += mesh.num_triangles
+
+        cat = lambda xs, w: (np.concatenate(xs, axis=0) if xs
+                             else np.zeros((0, w) if w else (0,), np.float32))
+        attr_n = cat(attr_n, 2)
+        attr_uv = cat(attr_uv, 2)
+        attr_tan = cat(attr_tan, 4)
+        indices = (np.concatenate(indices) if indices
+                   else np.zeros((0,), np.int32))
+        local_v0 = cat(local_v0, 3)
+        local_e1 = cat(local_e1, 3)
+        local_e2 = cat(local_e2, 3)
+
+        # 2. object-space packing per USED mesh (deduped: N instances of
+        # one mesh share its block)
+        used = sorted({m for m, _, _ in self.instances})
+        slot = {m: k for k, m in enumerate(used)}
+        mesh_tris = []
+        obj_aabb_mesh = []        # per-used-mesh object AABB (for inst_aabb)
+        for m in used:
+            lo = mesh_tri_off[m]
+            nt = self.meshes[m].num_triangles
+            v0 = local_v0[lo:lo + nt]
+            e1 = local_e1[lo:lo + nt]
+            e2 = local_e2[lo:lo + nt]
+            mesh_tris.append((v0, e1, e2))
+            vs = np.concatenate([v0, v0 + e1, v0 + e2], axis=0)
+            obj_aabb_mesh.append((vs.min(axis=0), vs.max(axis=0)))
+        obj_planes, obj_gaabb, spans = pack_triangles_instanced(
+            mesh_tris, grp=INST_GRP)
+        tp_obj = obj_planes.shape[2]
+
+        # 3. object-space shading rows [TpO, 35] at the PADDED layout
+        # offsets (object tri id = column in obj_planes). Same column
+        # layout as the flattened tri_table; cols 0:24 are OBJECT-space
+        # (hit.py transforms through the instance normal matrix), col 25
+        # unused (material is per-instance), cols 26:35 object v0/e1/e2.
+        tri_table = np.zeros((tp_obj, 35), np.float32)
+        tri_local = np.zeros((tp_obj,), np.int32)
+        tri_prim = np.zeros((tp_obj,), np.int32)
+        for m in used:
+            base_g, ng = spans[0, slot[m]], spans[1, slot[m]]
+            off = int(base_g) * unit
+            lo = mesh_tri_off[m]
+            mesh = self.meshes[m]
+            nt = mesh.num_triangles
+            tri = mesh.indices.reshape(-1, 3).astype(np.int64)
+            n_obj = _oct_decode_np(mesh.oct_normals)
+            blk = tri_table[off:off + nt]
+            for k in range(3):
+                blk[:, k * 3:k * 3 + 3] = n_obj[tri[:, k]]
+                blk[:, 9 + k * 2:11 + k * 2] = mesh.uvs[tri[:, k]]
+                blk[:, 15 + k * 3:18 + k * 3] = mesh.tangents[tri[:, k], :3]
+            blk[:, 24] = mesh.tangents[tri[:, 0], 3]
+            blk[:, 26:29] = local_v0[lo:lo + nt]
+            blk[:, 29:32] = local_e1[lo:lo + nt]
+            blk[:, 32:35] = local_e2[lo:lo + nt]
+            tri_local[off:off + nt] = np.arange(lo, lo + nt, dtype=np.int32)
+            tri_prim[off:off + nt] = np.arange(nt, dtype=np.int32)
+
+        # 4. per-instance tables
+        n_inst = len(self.instances)
+        inst_table = np.zeros((max(n_inst, 1), 23), np.float32)
+        inst_aabb = np.zeros((max(n_inst, 1), 8), np.float32)
+        inst_span = np.zeros((2, max(n_inst, 1)), np.int32)
+        inst_mesh, inst_mat, inst_tf, inst_nm = [], [], [], []
+        unit_inst, unit_group = [], []
+        world_tris = 0
+        for inst_id, (mesh_id, mat_id, tf) in enumerate(self.instances):
+            a = tf[:3, :3].astype(np.float64)
+            t = tf[:3, 3].astype(np.float64)
+            a_inv = np.linalg.inv(a)
+            nm = a_inv.T                       # world n = inv(A)^T @ obj n
+            inst_table[inst_id, 0:9] = a_inv.reshape(-1)
+            inst_table[inst_id, 9:12] = -(a_inv @ t)
+            inst_table[inst_id, 12:21] = nm.reshape(-1)
+            inst_table[inst_id, 21] = np.sign(np.linalg.det(a)) or 1.0
+            inst_table[inst_id, 22] = mat_id
+            mn, mx = obj_aabb_mesh[slot[mesh_id]]
+            c_o = (mn + mx) * 0.5
+            e_o = (mx - mn) * 0.5
+            c_w = a @ c_o + t
+            e_w = np.abs(a) @ e_o
+            inst_aabb[inst_id, 0:3] = c_w - e_w
+            inst_aabb[inst_id, 3:6] = c_w + e_w
+            base_g, ng = spans[0, slot[mesh_id]], spans[1, slot[mesh_id]]
+            inst_span[0, inst_id] = base_g
+            inst_span[1, inst_id] = ng
+            unit_inst.extend([inst_id] * int(ng))
+            unit_group.extend(range(int(base_g), int(base_g + ng)))
+            world_tris += self.meshes[mesh_id].num_triangles
+            inst_mesh.append(mesh_id)
+            inst_mat.append(mat_id)
+            inst_tf.append(tf[:3, :4].astype(np.float32))
+            inst_nm.append(nm.astype(np.float32))
+
+        (materials, mat_table, tex_channels, lights, light_table,
+         color_tex, data_tex) = self._pack_tables()
+
+        scene = CompiledScene(
+            tri_planes=obj_planes,
+            chunk_aabb=np.zeros((1, 8), f),      # flattened-mode only
+            tri_table=tri_table,
+            tri_table_local=np.zeros((1, 26), f),
+            bvh_tri_rows=np.zeros((1,), i),
+            mat_table=mat_table.astype(f),
+            light_table=light_table.astype(f),
+            bvh_rec=np.zeros((1, 12), f),        # no world BVH: culling is
+            bvh_skip=np.full((1,), -1, i),       # TLAS bitmask + object
+            bvh_tri=np.zeros((1,), i),           # group slabs in-kernel
+            bvh_left=np.zeros((1,), i),
+            bvh_right=np.zeros((1,), i),
+            bvh_depth=np.zeros((1,), i),
+            tri_inst=np.zeros((1,), i),
+            tri_prim=tri_prim,
+            tri_local=tri_local,
+            local_v0=local_v0.astype(f),
+            local_e1=local_e1.astype(f),
+            local_e2=local_e2.astype(f),
+            inst_mesh_id=np.asarray(inst_mesh, i),
+            inst_mat_id=np.asarray(inst_mat, i),
+            inst_transform=(np.stack(inst_tf) if inst_tf
+                            else np.zeros((0, 3, 4), f)),
+            inst_normal_mat=(np.stack(inst_nm) if inst_nm
+                             else np.zeros((0, 3, 3), f)),
+            inst_table=inst_table,
+            inst_affine_inv=inst_table[:, :12].T.copy(),
+            inst_aabb=inst_aabb,
+            obj_group_aabb=obj_gaabb,
+            inst_group_span=inst_span,
+            unit_inst=np.asarray(unit_inst, i),
+            unit_group=np.asarray(unit_group, i),
+            attr_oct_normal=attr_n.astype(f),
+            attr_uv=attr_uv.astype(f),
+            attr_tangent=attr_tan.astype(f),
+            indices=indices.astype(i),
+            mesh_vertex_offset=np.asarray(mesh_voff, i),
+            mesh_index_offset=np.asarray(mesh_ioff, i),
+            materials=materials,
+            lights=lights,
+            color_tex=textures_mod.pack_pairs(
+                jnp.asarray(color_tex, jnp.bfloat16)),
+            data_tex=textures_mod.pack_pairs(
+                jnp.asarray(data_tex, jnp.bfloat16)),
+            num_lights=len(self.lights),
+            num_instances=n_inst,
+            bvh_max_depth=0,
+            tex_channels=tex_channels,
+            instanced=True,
+            world_tri_count=world_tris,
+            inst_grp=INST_GRP,
+        )
+        return jax.tree_util.tree_map(jnp.asarray, scene)
+
+
+def _empty_instanced_fields():
+    """Instanced-intersector fields for a FLATTENED CompiledScene."""
+    i = np.int32
+    f = np.float32
+    return dict(
+        inst_table=np.zeros((0, 23), f),
+        inst_affine_inv=np.zeros((12, 0), f),
+        inst_aabb=np.zeros((0, 8), f),
+        obj_group_aabb=np.zeros((8, 0), f),
+        inst_group_span=np.zeros((2, 0), i),
+        unit_inst=np.zeros((0,), i),
+        unit_group=np.zeros((0,), i),
+    )

@@ -29,13 +29,16 @@ import numpy as np
         "tri_inst", "tri_prim", "tri_local",
         "local_v0", "local_e1", "local_e2",
         "inst_mesh_id", "inst_mat_id", "inst_transform", "inst_normal_mat",
+        "inst_table", "inst_affine_inv", "inst_aabb", "obj_group_aabb",
+        "inst_group_span", "unit_inst", "unit_group",
         "attr_oct_normal", "attr_uv", "attr_tangent",
         "indices", "mesh_vertex_offset", "mesh_index_offset",
         "materials", "lights",
         "color_tex", "data_tex",
     ],
     meta_fields=["num_lights", "num_instances", "bvh_max_depth",
-                 "tex_channels"],
+                 "tex_channels", "instanced", "world_tri_count",
+                 "inst_grp"],
 )
 @dataclasses.dataclass
 class CompiledScene:
@@ -83,6 +86,18 @@ class CompiledScene:
     inst_transform: jax.Array  # [I, 3, 4] f32 object->world affine
     inst_normal_mat: jax.Array  # [I, 3, 3] f32 (world normal = nm @ local n)
 
+    # --- two-level INSTANCED intersector (shared-BLAS analogue; empty for
+    # flattened scenes - see ops/pallas_trace.trace_instanced_pallas) ---
+    # inst_table [I, 23]: A^-1 (9) | b (3) | nm (9) | det-sign | mat_id -
+    # the per-hit reconstruction row (ops/hit.py instanced branch)
+    inst_table: jax.Array
+    inst_affine_inv: jax.Array  # [12, I] f32 transposed (SMEM-ready)
+    inst_aabb: jax.Array        # [I, 8] f32 instance WORLD AABBs
+    obj_group_aabb: jax.Array   # [8, NGO] f32 object-space group AABBs
+    inst_group_span: jax.Array  # [2, I] i32 (group base, count) per inst
+    unit_inst: jax.Array        # [NU] i32 (CPU-fallback unit tables)
+    unit_group: jax.Array       # [NU] i32
+
     # --- global concatenated vertex attributes (builder.rs:123-141 layout) ---
     attr_oct_normal: jax.Array  # [A, 2] f32
     attr_uv: jax.Array          # [A, 2] f32
@@ -108,9 +123,18 @@ class CompiledScene:
     # absent channel is compiled out entirely (frozenset of:
     # "color", "normal", "occlusion", "emissive", "metallic_roughness")
     tex_channels: frozenset
+    # two-level instanced mode: tri_planes/tri_table are OBJECT-space and
+    # shared across instances; traces return (t, obj tri, inst)
+    instanced: bool
+    # logical world triangle count (= sum of instanced mesh sizes); equals
+    # len(tri_inst) for flattened scenes
+    world_tri_count: int
+    inst_grp: int   # chunk-group width of the instanced object layout
 
     @property
     def num_triangles(self) -> int:
+        if self.world_tri_count:
+            return int(self.world_tri_count)
         return int(self.tri_inst.shape[0])
 
 
