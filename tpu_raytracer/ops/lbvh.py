@@ -166,7 +166,7 @@ def morton_reorder(scene):
     the new CompiledScene (shading tables and metadata follow the order)."""
     import dataclasses
 
-    from .pallas_trace import CT
+    from .pallas_trace import CT, mt_coef48
 
     t = scene.num_triangles
     tp = scene.tri_planes.shape[2]
@@ -205,6 +205,8 @@ def morton_reorder(scene):
     return dataclasses.replace(
         scene,
         tri_planes=planes,
+        coef48=(mt_coef48(planes, scene.coef48_grp) if scene.coef48_grp
+                else scene.coef48),
         chunk_aabb=chunk_aabb,
         tri_table=scene.tri_table[order],
         tri_table_local=scene.tri_table_local[order],

@@ -182,6 +182,24 @@ def mt_coef_device(tri_planes, wide: bool = False, group: int = GROUP):
     return coef.reshape(16, ng * 4 * group * CT)
 
 
+def default_coef_grp(tp: int) -> int:
+    """Group width the trace-time mode selection will use for a tp-column
+    scene under the current KERNEL_MODE - so builders can precompute
+    `mt_coef48(planes, grp)` ONCE (CompiledScene.coef48) instead of XLA
+    re-running the bf16 conversion inside every bounce-loop body.
+    Returns 0 when the active kernel doesn't consume coef48."""
+    mode = KERNEL_MODE
+    nc = tp // CT
+    if mode == "mxuf2" and nc > 48:
+        mode = "mxuf8"
+    if (mode.startswith("mxuf") or mode.startswith("any")) \
+            and tp > MXUF_MAX_TP:
+        mode = "mxus8"
+    if not (mode.startswith("mxuf") or mode.startswith("mxus")):
+        return 0
+    return _mode_grp(mode)
+
+
 def _mxuw_mask(group: int = GROUP):
     """[16*group, 4*group*CT] block-diagonal selector: row band
     16j..16j+16 is live only over chunk j's columns (each quantity block
@@ -966,10 +984,12 @@ def _mt_kernel(count_ref, list_ref, entry_ref, rays_ref, tri_ref, t_ref,
     idx_ref[0, :] = idx_best
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "reorder", "kernel"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "reorder", "kernel",
+                                             "coef48_grp"))
 def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
                        any_hit: bool = False, active=None,
-                       reorder: str = "none", kernel: str = KERNEL_MODE):
+                       reorder: str = "none", kernel: str = KERNEL_MODE,
+                       coef48=None, coef48_grp: int = 0):
     """Closest-hit (or any-hit) over ALL triangles.
 
     Args:
@@ -1156,11 +1176,20 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
 
     return _run_kernel(rays, tri_planes, counts, chunk_list, entry_list,
                        r, rp, nb, num_chunks, tp, any_hit, dest=dest,
-                       mode=mode)
+                       mode=mode, coef48=coef48, coef48_grp=coef48_grp)
+
+
+def _coef48_or(coef48, coef48_grp, tri_planes, grp):
+    """Scene-precomputed coef48 when its group width matches, else the
+    in-graph conversion (tests / non-default kernels)."""
+    if coef48 is not None and coef48_grp == grp and coef48.shape[1] > 0:
+        return coef48
+    return mt_coef48(tri_planes, group=grp)
 
 
 def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
-                num_chunks, tp, any_hit, dest=None, mode=KERNEL_MODE):
+                num_chunks, tp, any_hit, dest=None, mode=KERNEL_MODE,
+                coef48=None, coef48_grp: int = 0):
     # SMEM pads the minor dim to 128; when worklists would blow the ~1MB
     # SMEM budget (huge frame x huge scene) the kernel sweeps all chunks
     # and ignores the (dummy) list.
@@ -1182,7 +1211,7 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
     scratch_shapes = []
     if mode.startswith("any"):
         grp = _mode_grp(mode)
-        tri_arg = mt_coef48(tri_planes, group=grp)
+        tri_arg = _coef48_or(coef48, coef48_grp, tri_planes, grp)
         tri_spec = pl.BlockSpec(tri_arg.shape, lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)
         scratch_shapes = [pltpu.SMEM((1,), jnp.int32)]
@@ -1192,7 +1221,7 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
     elif mode.startswith("mxus"):
         grp = _mode_grp(mode)
         cols = grp * 4 * CT
-        tri_arg = mt_coef48(tri_planes, group=grp)
+        tri_arg = _coef48_or(coef48, coef48_grp, tri_planes, grp)
         tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)   # stays in HBM
         scratch_shapes = [
             pltpu.VMEM((2, 48, cols), jnp.bfloat16),
@@ -1204,7 +1233,7 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
             use_worklist=use_worklist, grp=grp, early=early)
     elif mode.startswith("mxuf"):
         grp = _mode_grp(mode)
-        tri_arg = mt_coef48(tri_planes, group=grp)
+        tri_arg = _coef48_or(coef48, coef48_grp, tri_planes, grp)
         tri_spec = pl.BlockSpec(tri_arg.shape, lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)
         scratch_shapes = [pltpu.SMEM((1,), jnp.int32)]
@@ -1517,7 +1546,7 @@ def _rays_padded(ray_o, ray_d, t_min, t_max, active, r, rp):
 def trace_instanced_pallas(obj_planes, obj_gaabb, inst_affine_inv,
                            inst_group_span, inst_aabb, ray_o, ray_d,
                            t_min, t_max, any_hit: bool = False, active=None,
-                           grp: int = INST_GRP):
+                           grp: int = INST_GRP, coef48=None):
     """Two-level instanced closest-hit / any-hit.
 
     Args:
@@ -1563,7 +1592,8 @@ def trace_instanced_pallas(obj_planes, obj_gaabb, inst_affine_inv,
             * weights[None, :, None]).sum(axis=1, dtype=jnp.uint32)
     mask = jax.lax.bitcast_convert_type(mask, jnp.int32)         # [W, nb]
 
-    coef = mt_coef48(obj_planes, group=grp)
+    coef = (coef48 if coef48 is not None and coef48.shape[1] > 0
+            else mt_coef48(obj_planes, group=grp))
     kern = functools.partial(_mt_kernel_inst, num_inst=n_inst,
                              any_hit=any_hit, grp=grp)
     interpret = jax.default_backend() != "tpu"

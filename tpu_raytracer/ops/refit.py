@@ -24,7 +24,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .pallas_trace import CT
+from .pallas_trace import CT, mt_coef48
 
 
 def _affine(transforms):
@@ -133,6 +133,8 @@ def update_instances(scene, transforms, changed=None, repack=False):
     return dataclasses.replace(
         scene,
         tri_planes=planes,
+        coef48=(mt_coef48(planes, scene.coef48_grp) if scene.coef48_grp
+                else scene.coef48),
         chunk_aabb=chunk_aabb,
         tri_table=tri_table,
         bvh_rec=rec,
@@ -280,6 +282,8 @@ def _update_changed(scene, transforms, changed):
     return dataclasses.replace(
         scene,
         tri_planes=planes,
+        coef48=(mt_coef48(planes, scene.coef48_grp) if scene.coef48_grp
+                else scene.coef48),
         chunk_aabb=chunk_aabb,
         tri_table=tri_table,
         bvh_rec=rec,

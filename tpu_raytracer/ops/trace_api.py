@@ -87,7 +87,8 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
                 scene.tri_planes, scene.obj_group_aabb,
                 scene.inst_affine_inv, scene.inst_group_span,
                 scene.inst_aabb, ray_o, ray_d, t_min, t_max,
-                any_hit=any_hit, active=active, grp=scene.inst_grp)
+                any_hit=any_hit, active=active, grp=scene.inst_grp,
+                coef48=scene.coef48)
         return pallas_trace._trace_instanced_xla(
             scene.tri_planes, scene.unit_inst, scene.unit_group,
             scene.inst_affine_inv, ray_o, ray_d, t_min, t_max,
@@ -97,7 +98,8 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
             return pallas_trace.trace_brute_pallas(
                 scene.tri_planes, scene.chunk_aabb, ray_o, ray_d, t_min,
                 t_max, any_hit=any_hit, active=active, reorder=reorder,
-                kernel=pallas_trace.KERNEL_MODE)
+                kernel=pallas_trace.KERNEL_MODE,
+                coef48=scene.coef48, coef48_grp=scene.coef48_grp)
         return _trace_brute_xla(scene.tri_planes, ray_o, ray_d, t_min, t_max,
                                 active=active)
     return traversal.trace(

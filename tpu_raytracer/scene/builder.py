@@ -495,10 +495,20 @@ class SceneBuilder:
         (materials, mat_table, tex_channels, lights, light_table,
          color_tex, data_tex) = self._pack_tables()
 
+        # precomputed fused bf16 MT coefficients (PERF.md r3: XLA re-ran
+        # the conversion inside every bounce-loop body when left to the
+        # trace call)
+        from ..ops.pallas_trace import default_coef_grp, mt_coef48
+        coef_grp = default_coef_grp(tri_planes.shape[2])
+        coef48 = (mt_coef48(jnp.asarray(tri_planes), coef_grp) if coef_grp
+                  else jnp.zeros((48, 0), jnp.bfloat16))
+
         i = np.int32
         f = np.float32
         scene = CompiledScene(
             **_empty_instanced_fields(),
+            coef48=coef48,
+            coef48_grp=coef_grp,
             tri_planes=tri_planes,
             chunk_aabb=chunk_aabb,
             tri_table=tri_table.astype(f),
@@ -567,6 +577,7 @@ class SceneBuilder:
         import jax
         import jax.numpy as jnp
 
+        from ..ops import pallas_trace as _pt
         from ..ops import textures as textures_mod
         from ..ops.pallas_trace import CT, INST_GRP
         from ..ops.pallas_trace import pack_triangles_instanced
@@ -729,6 +740,8 @@ class SceneBuilder:
             inst_group_span=inst_span,
             unit_inst=np.asarray(unit_inst, i),
             unit_group=np.asarray(unit_group, i),
+            coef48=_pt.mt_coef48(jnp.asarray(obj_planes), INST_GRP),
+            coef48_grp=INST_GRP,
             attr_oct_normal=attr_n.astype(f),
             attr_uv=attr_uv.astype(f),
             attr_tangent=attr_tan.astype(f),

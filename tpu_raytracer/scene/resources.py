@@ -30,7 +30,7 @@ import numpy as np
         "local_v0", "local_e1", "local_e2",
         "inst_mesh_id", "inst_mat_id", "inst_transform", "inst_normal_mat",
         "inst_table", "inst_affine_inv", "inst_aabb", "obj_group_aabb",
-        "inst_group_span", "unit_inst", "unit_group",
+        "inst_group_span", "unit_inst", "unit_group", "coef48",
         "attr_oct_normal", "attr_uv", "attr_tangent",
         "indices", "mesh_vertex_offset", "mesh_index_offset",
         "materials", "lights",
@@ -38,7 +38,7 @@ import numpy as np
     ],
     meta_fields=["num_lights", "num_instances", "bvh_max_depth",
                  "tex_channels", "instanced", "world_tri_count",
-                 "inst_grp"],
+                 "inst_grp", "coef48_grp"],
 )
 @dataclasses.dataclass
 class CompiledScene:
@@ -97,6 +97,12 @@ class CompiledScene:
     inst_group_span: jax.Array  # [2, I] i32 (group base, count) per inst
     unit_inst: jax.Array        # [NU] i32 (CPU-fallback unit tables)
     unit_group: jax.Array       # [NU] i32
+    # precomputed fused bf16 MT coefficients [48, NG*grp*4*CT] for the
+    # grp the intersector will pick (pallas_trace.default_coef_grp).
+    # Hoisted to build time because XLA re-ran the f32->bf16 hi/lo
+    # conversion INSIDE the bounce-loop while bodies (~13 ms/frame at
+    # 512^2, HLO fusion.1374, PERF.md r3). Refit recomputes it.
+    coef48: jax.Array
 
     # --- global concatenated vertex attributes (builder.rs:123-141 layout) ---
     attr_oct_normal: jax.Array  # [A, 2] f32
@@ -130,6 +136,7 @@ class CompiledScene:
     # len(tri_inst) for flattened scenes
     world_tri_count: int
     inst_grp: int   # chunk-group width of the instanced object layout
+    coef48_grp: int  # group width coef48 was packed with (0 = absent)
 
     @property
     def num_triangles(self) -> int:
