@@ -8,7 +8,7 @@ from tpu_raytracer.models import scenes
 from tpu_raytracer.ops import bsdf as bsdf_ops
 from tpu_raytracer.render import camera as camera_mod
 from tpu_raytracer.render import pipeline, renderer
-from tpu_raytracer.utils import math3d
+from tpu_raytracer.utils import math3d, vec3
 
 
 def _mat(n, roughness=0.5, metallic=0.0, transmission=0.0, ior=1.0):
@@ -29,9 +29,9 @@ def test_diffuse_furnace():
     wo = math3d.normalize(jnp.tile(jnp.asarray([[0.3, 0.1, 0.9]]), (n, 1)))
     base = jnp.full((n, 3), 1.0)
     mat = _mat(n, roughness=0.99)
-    _, smp = bsdf_ops.sample_bsdf(state, wo, None, normal,
-                                  jnp.ones((n,), bool), mat, base)
-    w = np.asarray(smp["weight"])
+    _, smp = bsdf_ops.sample_bsdf(state, vec3.of(wo), None, vec3.of(normal),
+                                  jnp.ones((n,), bool), mat, vec3.of(base))
+    w = np.asarray(vec3.arr(smp["weight"]))
     # mean weight == hemispherical albedo; GGX@0.99 + Fresnel keeps it < 1
     mean = w.mean(axis=0)
     assert 0.85 < mean[0] < 1.05, mean
@@ -47,19 +47,20 @@ def test_sampling_matches_uniform_mc():
     mat = _mat(n, roughness=0.4, metallic=1.0)
 
     state = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(77)
-    _, smp = bsdf_ops.sample_bsdf(state, wo, None, normal,
-                                  jnp.ones((n,), bool), mat, base)
-    est_importance = np.asarray(smp["weight"]).mean(axis=0)
+    _, smp = bsdf_ops.sample_bsdf(state, vec3.of(wo), None, vec3.of(normal),
+                                  jnp.ones((n,), bool), mat, vec3.of(base))
+    est_importance = np.asarray(vec3.arr(smp["weight"])).mean(axis=0)
 
     rng = np.random.default_rng(3)
     z = rng.random(n).astype(np.float32)
     phi = rng.random(n).astype(np.float32) * 2 * np.pi
     r = np.sqrt(np.maximum(1 - z * z, 0))
     wi = jnp.asarray(np.stack([r * np.cos(phi), r * np.sin(phi), z], -1))
-    f = bsdf_ops.eval_bsdf(normal, wi, wo, mat, base)
+    f = bsdf_ops.eval_bsdf(vec3.of(normal), vec3.of(wi), vec3.of(wo), mat,
+                           vec3.of(base))
     cos = jnp.maximum(math3d.dot(normal, wi), 0.0)
     est_uniform = np.asarray(
-        (f * cos[:, None]).mean(axis=0) * (2 * np.pi))
+        (vec3.arr(f) * cos[:, None]).mean(axis=0) * (2 * np.pi))
     assert np.abs(est_importance - est_uniform).max() < 0.05, (
         est_importance, est_uniform)
 

@@ -115,19 +115,30 @@ def test_instanced_pallas_kernel_matches_xla():
 def test_instanced_hit_attributes_match():
     """reconstruct_hit through the instance tables == flattened rows."""
     from tpu_raytracer.ops.hit import reconstruct_hit
+    from tpu_raytracer.utils import vec3
 
     sf, si = _scenes()
     o, d = _rays(seed=3)
     rf = scene_trace(sf, o, d, 1e-3, 3.0e38)
     ri = scene_trace(si, o, d, 1e-3, 3.0e38)
-    hf = reconstruct_hit(sf, rf["tri"], o, d, rf["t"])
-    hi = reconstruct_hit(si, ri["tri"], o, d, ri["t"],
+    ov, dv = vec3.of(o), vec3.of(d)
+    hf = reconstruct_hit(sf, rf["tri"], ov, dv, rf["t"])
+    hi = reconstruct_hit(si, ri["tri"], ov, dv, ri["t"],
                          inst_id=ri["inst"])
     m = np.asarray(rf["tri"]) >= 0
+
+    def flat(h, key):
+        val = h[key]
+        if isinstance(val, vec3.V3):
+            return np.asarray(vec3.arr(val))
+        if isinstance(val, tuple):
+            return np.stack([np.asarray(c) for c in val], -1)
+        return np.asarray(val)
+
     for key, tol in (("pos", 1e-4), ("normal", 1e-4), ("ffnormal", 1e-4),
                      ("uv", 1e-4), ("t", 1e-4)):
-        a = np.asarray(hf[key])[m]
-        b = np.asarray(hi[key])[m]
+        a = flat(hf, key)[m]
+        b = flat(hi, key)[m]
         assert np.abs(a - b).max() < tol, key
     assert (np.asarray(hf["mat_id"])[m] == np.asarray(hi["mat_id"])[m]).all()
     assert (np.asarray(hf["front"])[m] == np.asarray(hi["front"])[m]).all()

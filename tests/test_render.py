@@ -50,10 +50,11 @@ def test_reservoir_update_invariants():
     res = restir_ops.empty_reservoirs(4)
     mask = jnp.asarray([True, True, True, False])
     w = jnp.asarray([1.0, 0.0, 2.0, 5.0])
+    from tpu_raytracer.utils import vec3
+    ones3 = vec3.of(jnp.ones((4, 3)))
     res2 = restir_ops._update_reservoir(
         res, mask, jnp.uint32(7), w, jnp.asarray([0.4, 0.4, 0.9, 0.1]),
-        1, jnp.asarray([3.0] * 4), jnp.ones((4, 3)),
-        jnp.ones((4, 3)), jnp.bool_(True))
+        1, jnp.asarray([3.0] * 4), ones3, ones3, jnp.bool_(True))
     assert np.allclose(np.asarray(res2["w_sum"]), [1.0, 0.0, 2.0, 0.0])
     assert list(np.asarray(res2["M"])) == [1, 1, 1, 0]
     # lane0: rnd*w_sum = 0.4 < 1 -> take; lane1: w=0 -> no; lane3 masked

@@ -50,6 +50,23 @@ def select_gather(table, idx):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def select_gather_cols(table, idx):
+    """table [M, C] (M small), idx [R] -> list of C dense [R] columns.
+
+    Transposed form of `select_gather`: the [C, R] one-hot product keeps
+    the ray axis minor, so the result rows are dense [R] arrays with no
+    T(8,128) lane padding (a [R, C<128] output pads C to 128 lanes - 42x
+    traffic for C=3; PERF.md r3). Same exact-f32 one-hot guarantee."""
+    m, c = table.shape
+    oh = (idx[None, :] == jnp.arange(m, dtype=idx.dtype)[:, None]).astype(
+        jnp.float32)                                   # [M, R]
+    out = jax.lax.dot_general(
+        table, oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # [C, R]
+    return [out[k] for k in range(c)]
+
+
 # ---------------------------------------------------------------------------
 # Pallas one-hot gather for mid-size tables
 # ---------------------------------------------------------------------------

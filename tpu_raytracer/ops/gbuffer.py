@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..scene.material import NO_TEXTURE
-from ..utils import math3d
+from ..utils import math3d, vec3
 from . import textures
 from .hit import apply_normal_map, gather_material, reconstruct_hit
 from .trace_api import scene_trace
@@ -58,29 +58,31 @@ def render_gbuffer(scene, camera, width: int, height: int, y0=0,
     res = scene_trace(scene, ray_o, ray_d, T_MIN, T_MAX)
     valid = res["tri"] >= 0
 
-    h = reconstruct_hit(scene, res["tri"], ray_o, ray_d, res["t"],
-                        inst_id=res.get("inst"))
+    h = reconstruct_hit(scene, res["tri"], vec3.of(ray_o), vec3.of(ray_d),
+                        res["t"], inst_id=res.get("inst"))
     mat = gather_material(scene, h["mat_id"])
+    uv_u, uv_v = h["uv"]
 
-    base_color = mat["base_color"][:, :3]
+    base_color = mat["base_color"]
     if "color" in scene.tex_channels:
         base_color = base_color * textures.sample_bilinear(
-            scene.color_tex, mat["tex_id"], h["uv"])
+            scene.color_tex, mat["tex_id"], uv_u, uv_v)
     if "occlusion" in scene.tex_channels:
         base_color = base_color * textures.sample_bilinear(
-            scene.data_tex, mat["occlusion_tex_id"], h["uv"])[:, 0:1]
+            scene.data_tex, mat["occlusion_tex_id"], uv_u, uv_v).x
 
     final_normal = h["ffnormal"]
     if "normal" in scene.tex_channels:
         nmap = textures.sample_bilinear(
-            scene.data_tex, mat["normal_tex_id"], h["uv"])
+            scene.data_tex, mat["normal_tex_id"], uv_u, uv_v)
         final_normal = apply_normal_map(
-            final_normal, h["tangent"], nmap,
+            final_normal, h["tangent"], h["tangent_w"], nmap,
             mat["normal_tex_id"] != NO_TEXTURE)
 
     # motion vectors (gbuffer.wgsl:227-242)
+    pos = vec3.arr(h["pos"])
     pos4 = jnp.concatenate(
-        [h["pos"], jnp.ones((h["pos"].shape[0], 1), jnp.float32)], axis=-1
+        [pos, jnp.ones((pos.shape[0], 1), jnp.float32)], axis=-1
     )
     curr_clip = pos4 @ camera["view_proj"].T
     prev_clip = pos4 @ camera["prev_view_proj"].T
@@ -89,13 +91,16 @@ def render_gbuffer(scene, camera, width: int, height: int, y0=0,
     flip = jnp.asarray([0.5, -0.5], jnp.float32)
     motion = (prev_ndc * flip + 0.5) - (curr_ndc * flip + 0.5)
 
+    oct_x, oct_y = vec3.oct_encode(final_normal)
     return {
         "valid": valid,
-        "pos": jnp.where(valid[:, None], h["pos"], 0.0),
+        "pos": jnp.where(valid[:, None], pos, 0.0),
         "mat_id": jnp.where(valid, h["mat_id"], 0).astype(jnp.int32),
-        "oct_normal": jnp.where(valid[:, None], math3d.oct_encode(final_normal), 0.0),
-        "uv": jnp.where(valid[:, None], h["uv"], 0.0),
-        "albedo": jnp.where(valid[:, None], base_color, 0.0),
+        "oct_normal": jnp.where(valid[:, None],
+                                jnp.stack([oct_x, oct_y], axis=-1), 0.0),
+        "uv": jnp.where(valid[:, None],
+                        jnp.stack([uv_u, uv_v], axis=-1), 0.0),
+        "albedo": jnp.where(valid[:, None], vec3.arr(base_color), 0.0),
         "motion": jnp.where(valid[:, None], motion, 0.0),
     }
 

@@ -1005,8 +1005,18 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
 
     Returns dict(t, tri); the winner's exact u/v/front are recomputed
     from its wide tri_table row in ops/hit.py.
+
+    ray_o/ray_d may be [R, 3] arrays or component tuples of three [R]
+    arrays (utils/vec3.V3) - the component form feeds the [8, R] ray
+    block with zero repacking.
     """
-    r = ray_o.shape[0]
+    if isinstance(ray_o, tuple):
+        o_c, d_c = list(ray_o), list(ray_d)
+        r = o_c[0].shape[0]
+    else:
+        o_c = [ray_o[:, k] for k in range(3)]
+        d_c = [ray_d[:, k] for k in range(3)]
+        r = ray_o.shape[0]
     tp = tri_planes.shape[2]
     num_chunks = tp // CT
     rp = max(((r + BR - 1) // BR) * BR, BR)
@@ -1025,8 +1035,12 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
         from . import compaction
 
         rows = jnp.zeros((rp, 8), jnp.float32)
-        rows = rows.at[:r, 0:3].set(ray_o)
-        rows = rows.at[:r, 3:6].set(ray_d)
+        rows = rows.at[:r, 0].set(o_c[0])
+        rows = rows.at[:r, 1].set(o_c[1])
+        rows = rows.at[:r, 2].set(o_c[2])
+        rows = rows.at[:r, 3].set(d_c[0])
+        rows = rows.at[:r, 4].set(d_c[1])
+        rows = rows.at[:r, 5].set(d_c[2])
         rows = rows.at[:r, 6].set(t_min)
         rows = rows.at[:r, 7].set(t_max)
         live = rows[:, 7] > 0.0
@@ -1038,10 +1052,8 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
         rays = rows[src].T
     else:
         pad = rp - r
-        ot = ray_o.T                                   # [3, R]
-        dt = ray_d.T
-        rays = jnp.concatenate([
-            ot, dt, t_min[None], t_max[None]], axis=0)  # [8, R]
+        rays = jnp.stack(
+            o_c + d_c + [t_min, t_max], axis=0)         # [8, R]
         if pad:
             rays = jnp.concatenate(
                 [rays, jnp.zeros((8, pad), jnp.float32)], axis=1)

@@ -9,7 +9,14 @@ consumption order matches the reference exactly so that seed-replay ReSTIR
 
 Divergent control flow ("break") becomes an active-lane mask; terminated
 lanes skip traversal via the traversal kernel's `active` fast path. The
-bounce loop is a single `lax.fori_loop` body (compiled once).
+bounce loop is a single `lax.while_loop` body (compiled once).
+
+The wavefront is COMPONENT-MAJOR (utils/vec3): positions, directions,
+colors and throughput are V3s of dense [R] arrays - a materialized
+row-major [R, 3] f32 intermediate costs 42x its useful HBM traffic on TPU
+(T(8,128) pads the minor dim to 128 lanes) and the per-bounce shading glue
+was most of the frame (PERF.md r3). [R, 3] arrays appear only at the
+module boundary (the G-buffer dict in, radiance/v1 out).
 
 Reference quirks intentionally preserved (they define the target radiance):
   * the bounce loop's `is_specular` reuses the *primary* surface's glass
@@ -26,7 +33,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..scene.material import NO_TEXTURE
-from ..utils import math3d, rng
+from ..utils import rng, vec3
+from ..utils.vec3 import V3
 from . import bsdf as bsdf_ops
 from . import lights as light_ops
 from . import textures
@@ -50,13 +58,14 @@ def _nee_draw(scene, state, active, pos, ffnormal, wo, mat, base_color,
     carries a fixed ~3.5 ms floor at 512^2 - halving the call count per
     depth is worth more than any per-test optimization; PERF.md).
 
-    Returns (state, ray, pre): ray = dict(origin, dir, t_max, active);
-    pre = dict(contrib [R,3], shadow_active [R], n_rays).
+    Returns (state, ray, pre): ray = dict(origin V3, dir V3, t_max [R],
+    active [R]); pre = dict(contrib V3, shadow_active [R], n_rays).
     """
-    r = pos.shape[0]
+    r = state.shape[0]
     if num_lights == 0:
-        z3 = jnp.zeros((r, 3), jnp.float32)
-        ray = dict(origin=pos, dir=z3, t_max=jnp.zeros((r,), jnp.float32),
+        z = jnp.zeros((r,), jnp.float32)
+        z3 = V3(z, z, z)
+        ray = dict(origin=pos, dir=z3, t_max=z,
                    active=jnp.zeros((r,), jnp.bool_))
         return state, ray, dict(contrib=z3,
                                 shadow_active=ray["active"],
@@ -73,7 +82,7 @@ def _nee_draw(scene, state, active, pos, ffnormal, wo, mat, base_color,
     ls = light_ops.sample_light(light_rows, r1, r2)
 
     pdf_nee = ls["pdf"] * (1.0 / num_lights)
-    to_light = math3d.normalize(ls["pos"] - pos)
+    to_light = vec3.normalize(ls["pos"] - pos)
     p_bsdf = bsdf_ops.eval_pdf(ffnormal, to_light, wo, mat, base_color)
     mis_weight = pdf_nee / jnp.maximum(pdf_nee + p_bsdf, 1e-20)
     weight = mis_weight / jnp.maximum(pdf_nee, 1e-20)
@@ -81,19 +90,16 @@ def _nee_draw(scene, state, active, pos, ffnormal, wo, mat, base_color,
     # eval_direct_lighting (restir.wgsl:443-459)
     offset_pos = pos + ffnormal * 1e-3
     delta = ls["pos"] - offset_pos
-    dist = math3d.length(delta)
-    l_dir = delta / jnp.maximum(dist, 1e-12)[:, None]
-    n_dot_l = jnp.maximum(math3d.dot(ffnormal, l_dir), 0.0)
-    l_dot_n = jnp.maximum(math3d.dot(-l_dir, ls["normal"]), 0.0)
+    dist = vec3.length(delta)
+    l_dir = delta / jnp.maximum(dist, 1e-12)
+    n_dot_l = jnp.maximum(vec3.dot(ffnormal, l_dir), 0.0)
+    l_dot_n = jnp.maximum(vec3.dot(-l_dir, ls["normal"]), 0.0)
     geo_ok = (n_dot_l > 0.0) & (l_dot_n > 0.0)
     shadow_active = smp_mask & geo_ok
 
     f = bsdf_ops.eval_bsdf(ffnormal, l_dir, wo, mat, base_color)
     g = (n_dot_l * l_dot_n) / jnp.maximum(dist * dist, 1e-12)
-    contrib = (
-        ls["emission"][:, :3] * ls["emission"][:, 3:4]
-        * f * (g * weight)[:, None]
-    )
+    contrib = ls["emission"] * ls["emission_w"] * f * (g * weight)
     ray = dict(origin=offset_pos, dir=l_dir,
                t_max=jnp.maximum(dist * 0.999, 0.0), active=shadow_active)
     return state, ray, dict(
@@ -103,15 +109,26 @@ def _nee_draw(scene, state, active, pos, ffnormal, wo, mat, base_color,
 
 def _nee_apply(pre, blocked):
     visible = pre["shadow_active"] & ~blocked
-    return jnp.where(visible[:, None], pre["contrib"], 0.0)
+    return vec3.where(visible, pre["contrib"], 0.0)
+
+
+def _cat(a, b):
+    return jnp.concatenate([a, b], axis=0)
+
+
+def _cat3(a: V3, b: V3) -> V3:
+    return V3(_cat(a.x, b.x), _cat(a.y, b.y), _cat(a.z, b.z))
 
 
 def _dual_trace(scene, s_ray, b_origin, b_dir, b_active, num_lights,
                 reorder="none"):
     """ONE traversal call for [this depth's NEE shadow rays | the next
     depth's bounce rays] - closest-hit for both (a windowed closest hit
-    answers occlusion exactly). Returns (blocked [R], bounce res)."""
-    r = b_origin.shape[0]
+    answers occlusion exactly). Origins/dirs are V3 component tuples all
+    the way into the traversal (the kernel builds its [8, R] ray block
+    from the components directly - no [R, 3] round trip).
+    Returns (blocked [R], bounce res)."""
+    r = b_active.shape[0]
     if num_lights == 0:
         res = scene_trace(scene, b_origin, b_dir, T_MIN, T_MAX,
                           active=b_active, reorder=reorder)
@@ -129,11 +146,10 @@ def _dual_trace(scene, s_ray, b_origin, b_dir, b_active, num_lights,
         res = scene_trace(scene, b_origin, b_dir, T_MIN, T_MAX,
                           active=b_active, reorder=reorder)
         return blocked, res
-    o = jnp.concatenate([s_ray["origin"], b_origin], axis=0)
-    d = jnp.concatenate([s_ray["dir"], b_dir], axis=0)
-    t_max = jnp.concatenate(
-        [s_ray["t_max"], jnp.full((r,), T_MAX, jnp.float32)], axis=0)
-    act = jnp.concatenate([s_ray["active"], b_active], axis=0)
+    o = _cat3(s_ray["origin"], b_origin)
+    d = _cat3(s_ray["dir"], b_dir)
+    t_max = _cat(s_ray["t_max"], jnp.full((r,), T_MAX, jnp.float32))
+    act = _cat(s_ray["active"], b_active)
     res = scene_trace(scene, o, d, T_MIN, t_max, active=act,
                       reorder=reorder)
     blocked = res["tri"][:r] >= 0
@@ -163,45 +179,49 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
     state = jnp.asarray(seed, jnp.uint32)
 
     active = gb["valid"] if active is None else gb["valid"] & active
-    pos = gb["pos"]
-    normal = math3d.oct_decode(gb["oct_normal"])
+    pos = vec3.of(gb["pos"])
+    normal = vec3.oct_decode(gb["oct_normal"][:, 0], gb["oct_normal"][:, 1])
     ffnormal = normal
-    uv = gb["uv"]
+    uv = (gb["uv"][:, 0], gb["uv"][:, 1])
     mat_id = gb["mat_id"]
     front_face = jnp.ones((r,), jnp.bool_)
 
     mat = gather_material(scene, mat_id)
-    base_color = gb["albedo"]
+    base_color = vec3.of(gb["albedo"])
     mat = dict(mat)
-    mat["base_color"] = jnp.concatenate(
-        [base_color, jnp.ones((r, 1), jnp.float32)], axis=-1
-    )
+    mat["base_color"] = base_color
 
     # --- metallic-roughness map at depth 0 (restir.wgsl:503-511) ---
     # sampling is compiled out when no material in the scene has the channel
     if "metallic_roughness" in scene.tex_channels:
         mr = textures.sample_bilinear(
-            scene.data_tex, mat["metallic_roughness_tex_id"], uv)
+            scene.data_tex, mat["metallic_roughness_tex_id"], uv[0], uv[1])
         has_mr = mat["metallic_roughness_tex_id"] != NO_TEXTURE
-        mat["metallic"] = jnp.where(has_mr, mr[:, 2] * mat["metallic"],
+        mat["metallic"] = jnp.where(has_mr, mr.z * mat["metallic"],
                                     mat["metallic"])
-        mat["roughness"] = jnp.where(has_mr, mr[:, 1] * mat["roughness"],
+        mat["roughness"] = jnp.where(has_mr, mr.y * mat["roughness"],
                                      mat["roughness"])
 
-    accumulated = jnp.zeros((r, 3), jnp.float32)
-    throughput = jnp.ones((r, 3), jnp.float32)
-    wo = math3d.normalize(view_pos[None, :] - pos)
+    zeros = jnp.zeros((r,), jnp.float32)
+    accumulated = V3(zeros, zeros, zeros)
+    throughput = V3(jnp.ones((r,), jnp.float32),
+                    jnp.ones((r,), jnp.float32),
+                    jnp.ones((r,), jnp.float32))
+    view = V3(jnp.broadcast_to(view_pos[0], (r,)),
+              jnp.broadcast_to(view_pos[1], (r,)),
+              jnp.broadcast_to(view_pos[2], (r,)))
+    wo = vec3.normalize(view - pos)
 
     # --- primary emission, light-source pixels terminate (restir.wgsl:522-552)
     if "emissive" in scene.tex_channels:
         em_tex = textures.sample_bilinear(
-            scene.color_tex, mat["emissive_tex_id"], uv)
+            scene.color_tex, mat["emissive_tex_id"], uv[0], uv[1])
         has_em_tex = mat["emissive_tex_id"] != NO_TEXTURE
-        emission = mat["emissive_factor"] * jnp.where(
-            has_em_tex[:, None], em_tex, 1.0)
+        emission = mat["emissive_factor"] * vec3.where(has_em_tex, em_tex,
+                                                       1.0)
     else:
         emission = mat["emissive_factor"]
-    accumulated = accumulated + jnp.where(active[:, None], emission, 0.0)
+    accumulated = accumulated + vec3.where(active, emission, 0.0)
     is_light_px = active & (mat["light_index"] >= 0)
     active = active & ~is_light_px
 
@@ -219,7 +239,7 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
     state, sc = bsdf_ops.sample_bsdf(
         state, wo, pos, ffnormal, front_face, mat, base_color, active=active
     )
-    dead = jnp.all(sc["weight"] <= 0.0, axis=-1)
+    dead = vec3.all_leq_zero(sc["weight"])
     active = active & ~dead
     last_bsdf_pdf = sc["pdf"]
     throughput = throughput * sc["weight"]
@@ -228,18 +248,17 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
     # ONE batched traversal: primary shadow rays + first bounce rays
     # (the bounce count rides the loop's post-RR accounting, matching
     # the unbatched formulation exactly)
-    offset_dir0 = jnp.sign(
-        math3d.dot(ffnormal, next_dir, keepdims=True)) * ffnormal
+    offset_dir0 = ffnormal * jnp.sign(vec3.dot(ffnormal, next_dir))
     origin_b = pos + offset_dir0 * 1e-3
     blocked0, res_pending = _dual_trace(
         scene, s_ray, origin_b, next_dir, active, num_lights,
         reorder=reorder)
-    accumulated = accumulated + jnp.where(
-        nee_mask[:, None], _nee_apply(s_pre, blocked0), 0.0) * thr_pre
+    accumulated = accumulated + vec3.where(
+        nee_mask, _nee_apply(s_pre, blocked0), 0.0) * thr_pre
 
     valid_v1 = jnp.zeros((r,), jnp.bool_)
-    v1_pos = jnp.zeros((r, 3), jnp.float32)
-    v1_normal = jnp.zeros((r, 3), jnp.float32)
+    v1_pos = V3(zeros, zeros, zeros)
+    v1_normal = V3(zeros, zeros, zeros)
 
     # ------------------------------------------------------------------
     # Bounce loop, depth 1..MAX_DEPTH-1 (restir.wgsl:590-733)
@@ -271,12 +290,12 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         # result is consumed only after this draw)
         rr_mask = active & (depth >= RR_START_DEPTH)
         state, r_rr = rng.rand_if(state, rr_mask)
-        p = jnp.max(throughput, axis=-1)
+        p = vec3.vmax(throughput)
         survival = jnp.clip(p, 0.05, 0.95)
         die = rr_mask & (r_rr > survival)
         active = active & ~die
-        throughput = jnp.where(
-            (rr_mask & active)[:, None], throughput / survival[:, None], throughput
+        throughput = vec3.where(
+            rr_mask & active, throughput / survival, throughput
         )
 
         # pending bounce hit (restir.wgsl:601-607; post-RR count matches
@@ -293,48 +312,47 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         # reconnection vertex (restir.wgsl:624-629)
         first = active & (depth == 1)
         valid_v1 = c["valid_v1"] | first
-        v1_pos = jnp.where(first[:, None], h["pos"], c["v1_pos"])
-        v1_normal = jnp.where(first[:, None], h["normal"], c["v1_normal"])
+        v1_pos = vec3.where(first, h["pos"], c["v1_pos"])
+        v1_normal = vec3.where(first, h["normal"], c["v1_normal"])
 
         wo = -next_dir
         mat = gather_material(scene, h["mat_id"])
-        base_color = mat["base_color"][:, :3]
+        base_color = mat["base_color"]
+        uv_u, uv_v = h["uv"]
         if "color" in scene.tex_channels:
             tex_color = textures.sample_bilinear(
-                scene.color_tex, mat["tex_id"], h["uv"])
+                scene.color_tex, mat["tex_id"], uv_u, uv_v)
             base_color = base_color * tex_color
         if "occlusion" in scene.tex_channels:
             occ = textures.sample_bilinear(
-                scene.data_tex, mat["occlusion_tex_id"], h["uv"])[:, 0:1]
+                scene.data_tex, mat["occlusion_tex_id"], uv_u, uv_v).x
             base_color = base_color * occ
 
         ffnormal = h["ffnormal"]
         if "normal" in scene.tex_channels:
             nmap = textures.sample_bilinear(
-                scene.data_tex, mat["normal_tex_id"], h["uv"])
+                scene.data_tex, mat["normal_tex_id"], uv_u, uv_v)
             ffnormal = apply_normal_map(
-                ffnormal, h["tangent"], nmap,
+                ffnormal, h["tangent"], h["tangent_w"], nmap,
                 mat["normal_tex_id"] != NO_TEXTURE)
 
         # emissive texture of non-light materials (restir.wgsl:675-678)
         if "emissive" in scene.tex_channels:
             em_tex = textures.sample_bilinear(
-                scene.color_tex, mat["emissive_tex_id"], h["uv"])
+                scene.color_tex, mat["emissive_tex_id"], uv_u, uv_v)
             em_mask = active & (mat["light_index"] == -1) & (
                 mat["emissive_tex_id"] != NO_TEXTURE)
-            accumulated = accumulated + jnp.where(
-                em_mask[:, None], em_tex, 0.0) * throughput
+            accumulated = accumulated + vec3.where(
+                em_mask, em_tex, 0.0) * throughput
 
         # emissive light hit with MIS (restir.wgsl:683-699)
         light_hit = active & (mat["light_index"] >= 0)
         lrow = gather_light(scene, jnp.maximum(mat["light_index"], 0))
-        l_em = lrow["emission"]
-        l_area = lrow["area"]
-        le = l_em[:, :3] * l_em[:, 3:4]
+        le = lrow["emission"] * lrow["emission_w"]
         dist_sq = h["t"] * h["t"]
-        light_cos = jnp.maximum(math3d.dot(ffnormal, -wo), 0.0)  # quirk, see module docstring
+        light_cos = jnp.maximum(vec3.dot(ffnormal, -wo), 0.0)  # quirk, see module docstring
         p_bsdf = c["last_bsdf_pdf"]
-        p_nee = (1.0 / jnp.maximum(l_area, 1e-12)) * (
+        p_nee = (1.0 / jnp.maximum(lrow["area"], 1e-12)) * (
             dist_sq / jnp.maximum(light_cos, 1e-12)
         ) * (1.0 / max(num_lights, 1))
         mis_light = jnp.where(
@@ -342,8 +360,8 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         )
         mis_light = jnp.where(c["previous_was_diffuse"], mis_light, 1.0)
         add_light = light_hit & h["front"]
-        accumulated = accumulated + jnp.where(
-            add_light[:, None], le * mis_light[:, None], 0.0
+        accumulated = accumulated + vec3.where(
+            add_light, le * mis_light, 0.0
         ) * throughput
         active = active & ~light_hit
 
@@ -361,20 +379,19 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         state, sc = bsdf_ops.sample_bsdf(
             state, wo, h["pos"], ffnormal, h["front"], mat, base_color, active=active
         )
-        dead = jnp.all(sc["weight"] <= 0.0, axis=-1)
+        dead = vec3.all_leq_zero(sc["weight"])
         active = active & ~dead
-        throughput = jnp.where(active[:, None], throughput * sc["weight"], throughput)
+        throughput = vec3.where(active, throughput * sc["weight"], throughput)
 
         # ONE batched traversal: this depth's shadow rays + the next
         # depth's bounce rays (halves the sweep-call count per depth;
         # the trailing bounce of the final iteration goes unused)
-        offset_dir = jnp.sign(
-            math3d.dot(ffnormal, sc["wi"], keepdims=True)) * ffnormal
+        offset_dir = ffnormal * jnp.sign(vec3.dot(ffnormal, sc["wi"]))
         origin_n = h["pos"] + offset_dir * 1e-3
         blocked, res_n = _dual_trace(scene, s_ray, origin_n, sc["wi"],
                                      active, num_lights, reorder=reorder)
-        accumulated = accumulated + jnp.where(
-            nee_mask[:, None], _nee_apply(s_pre, blocked), 0.0) * thr_pre
+        accumulated = accumulated + vec3.where(
+            nee_mask, _nee_apply(s_pre, blocked), 0.0) * thr_pre
 
         out = dict(
             state=state, active=active, accumulated=accumulated,
@@ -397,10 +414,10 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         body, carry)
 
     return {
-        "radiance": carry["accumulated"],
+        "radiance": vec3.arr(carry["accumulated"]),
         "valid_v1": carry["valid_v1"],
-        "v1_pos": carry["v1_pos"],
-        "v1_normal": carry["v1_normal"],
+        "v1_pos": vec3.arr(carry["v1_pos"]),
+        "v1_normal": vec3.arr(carry["v1_normal"]),
         # exact traversal-query count (bounce + shadow rays), for Mrays/s
         "rays": carry["ray_count"],
     }

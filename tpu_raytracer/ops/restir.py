@@ -15,6 +15,10 @@ through `BandView`s (parallel/views.py), so the same code runs single-chip
 and row-band-sharded across a device mesh with ppermute halo exchange;
 reads beyond the halo simply drop reuse for that lane.
 
+Vector fields (s_path, rad) live as component-major V3s inside the pass
+(utils/vec3 - [R, 3] row-major intermediates pad 42x on TPU); the packed
+[N, 12] reservoir rows remain the storage/gather format.
+
 RNG streams: candidate seeds come from `pcg_hash(pixel + frame * 927163)`
 (restir.wgsl:797); reuse logic draws from the separate raw-LCG stream
 (restir.wgsl:781-786, rand_lcg) - both reproduced bit-exactly with GLOBAL
@@ -26,7 +30,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..utils import math3d, rng
+from ..utils import rng, vec3
+from ..utils.vec3 import V3
 from . import path_trace
 
 MAX_M_TEMPORAL = 16   # restir.wgsl:851
@@ -62,54 +67,51 @@ def _global_coords(ctx):
 
 
 def empty_reservoirs(n: int) -> dict:
+    z = jnp.zeros((n,), jnp.float32)
     return {
         "y": jnp.zeros((n,), jnp.uint32),
-        "w_sum": jnp.zeros((n,), jnp.float32),
+        "w_sum": z,
         "M": jnp.zeros((n,), jnp.int32),
-        "W": jnp.zeros((n,), jnp.float32),
-        "p_hat": jnp.zeros((n,), jnp.float32),
-        "s_path": jnp.zeros((n, 3), jnp.float32),
+        "W": z,
+        "p_hat": z,
+        "s_path": V3(z, z, z),
         # Replay-dedup cache (TPU addition; radiance semantics unchanged):
         # `rad` is the full RGB radiance of seed `y` as traced from THIS
         # pixel's surface; `rad_ok` marks it valid for the current frame's
         # final replay (restir_spatial.wgsl:996) - tracing is skipped for
         # those lanes since the replay is deterministic in (gb, seed).
-        "rad": jnp.zeros((n, 3), jnp.float32),
+        "rad": V3(z, z, z),
         "rad_ok": jnp.zeros((n,), jnp.bool_),
     }
 
 
 def pack_reservoirs(res: dict):
-    """SoA -> one [N, 8] row table for single-gather neighbor reads.
+    """SoA -> one [N, 12] row table for single-gather neighbor reads.
 
     The seed `y` is a raw uint32 bit pattern - it rides bitcast to f32
     (XLA gathers are byte-preserving; never do arithmetic on column 0).
     """
-    import jax
-
-    return jnp.concatenate([
-        jax.lax.bitcast_convert_type(res["y"], jnp.float32)[:, None],
-        res["w_sum"][:, None],
-        res["M"].astype(jnp.float32)[:, None],
-        res["W"][:, None],
-        res["p_hat"][:, None],
-        res["s_path"],
-        res["rad"],
-        res["rad_ok"].astype(jnp.float32)[:, None],
+    return jnp.stack([
+        jax.lax.bitcast_convert_type(res["y"], jnp.float32),
+        res["w_sum"],
+        res["M"].astype(jnp.float32),
+        res["W"],
+        res["p_hat"],
+        res["s_path"].x, res["s_path"].y, res["s_path"].z,
+        res["rad"].x, res["rad"].y, res["rad"].z,
+        res["rad_ok"].astype(jnp.float32),
     ], axis=-1)
 
 
 def unpack_reservoirs(rows):
-    import jax
-
     return {
         "y": jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32),
         "w_sum": rows[..., 1],
         "M": rows[..., 2].astype(jnp.int32),
         "W": rows[..., 3],
         "p_hat": rows[..., 4],
-        "s_path": rows[..., 5:8],
-        "rad": rows[..., 8:11],
+        "s_path": V3(rows[..., 5], rows[..., 6], rows[..., 7]),
+        "rad": V3(rows[..., 8], rows[..., 9], rows[..., 10]),
         "rad_ok": rows[..., 11] > 0.5,
     }
 
@@ -120,6 +122,7 @@ def _update_reservoir(res, mask, y_new, w, rnd, cnt, p_hat_new, s_path_new,
 
     rad_new/rad_ok_new: replay-dedup cache riding with the candidate sample
     (see empty_reservoirs) - adopted only when the sample wins (`take`).
+    s_path_new/rad_new are V3s (or scalar 0.0).
     """
     w_sum = res["w_sum"] + jnp.where(mask, w, 0.0)
     m = res["M"] + jnp.where(mask, cnt, 0)
@@ -130,21 +133,22 @@ def _update_reservoir(res, mask, y_new, w, rnd, cnt, p_hat_new, s_path_new,
         "M": m,
         "W": res["W"],
         "p_hat": jnp.where(take, p_hat_new, res["p_hat"]),
-        "s_path": jnp.where(take[:, None], s_path_new, res["s_path"]),
-        "rad": jnp.where(take[:, None], rad_new, res["rad"]),
+        "s_path": vec3.where(take, s_path_new, res["s_path"]),
+        "rad": vec3.where(take, rad_new, res["rad"]),
         "rad_ok": jnp.where(take, rad_ok_new, res["rad_ok"]),
     }
 
 
 def _is_valid_neighbor_temporal(curr_pos, curr_normal, curr_mat,
                                 prev_pos, prev_normal, prev_mat, camera_pos):
-    """restir.wgsl:758-778."""
+    """restir.wgsl:758-778. Positions/normals are V3s; camera_pos a V3 of
+    scalars."""
     ok = curr_mat == prev_mat
-    ok &= math3d.dot(curr_normal, prev_normal) >= 0.99
+    ok &= vec3.dot(curr_normal, prev_normal) >= 0.99
     dd = curr_pos - prev_pos
-    dist_diff_sq = math3d.dot(dd, dd)
-    dc = curr_pos - camera_pos[None, :]
-    threshold = jnp.maximum(1e-5, math3d.dot(dc, dc) * 1e-3)
+    dist_diff_sq = vec3.dot(dd, dd)
+    dc = curr_pos - camera_pos
+    threshold = jnp.maximum(1e-5, vec3.dot(dc, dc) * 1e-3)
     ok &= dist_diff_sq <= threshold
     return ok
 
@@ -159,15 +163,21 @@ def _is_valid_neighbor_spatial(scene, curr_pos, curr_normal, curr_mat,
     is_specular = (mat_rough < 0.2) | (mat_metal > 0.8) | (mat_trans > 0.01)
 
     ok = curr_mat == n_mat
-    ndot = math3d.dot(curr_normal, n_normal)
+    ndot = vec3.dot(curr_normal, n_normal)
     dd = curr_pos - n_pos
-    dist_diff_sq = math3d.dot(dd, dd)
-    dc = curr_pos - camera_pos[None, :]
-    threshold = jnp.maximum(1e-5, math3d.dot(dc, dc) * 1e-3)
+    dist_diff_sq = vec3.dot(dd, dd)
+    dc = curr_pos - camera_pos
+    threshold = jnp.maximum(1e-5, vec3.dot(dc, dc) * 1e-3)
 
     spec_ok = (ndot >= 0.998) & (jnp.sqrt(dist_diff_sq) <= 0.01)
     diff_ok = (ndot >= 0.995) & (dist_diff_sq <= threshold)
     return ok & jnp.where(is_specular, spec_ok, diff_ok)
+
+
+def _cam_v3(camera_pos, r):
+    return V3(jnp.broadcast_to(camera_pos[0], (r,)),
+              jnp.broadcast_to(camera_pos[1], (r,)),
+              jnp.broadcast_to(camera_pos[2], (r,)))
 
 
 def restir_temporal(scene, gb, prev_view, camera,
@@ -201,48 +211,50 @@ def restir_temporal(scene, gb, prev_view, camera,
     pr = path_trace.trace_path(scene, gb, camera["view_pos"][:3],
                                seed_candidate,
                                reorder=ctx.get("reorder", "none"))
-    p_hat = math3d.luminance(pr["radiance"])
+    pr_rad = vec3.of(pr["radiance"])
+    p_hat = vec3.luminance(pr_rad)
     # candidate cache is valid unconditionally: the final replay traces
     # (gb, seed_candidate) - exactly what was just traced.
     res = _update_reservoir(res, valid, seed_candidate, p_hat,
-                            jnp.float32(0.5), 1, p_hat, pr["v1_pos"],
-                            pr["radiance"], jnp.bool_(True))
+                            jnp.float32(0.5), 1, p_hat,
+                            vec3.of(pr["v1_pos"]), pr_rad, jnp.bool_(True))
     res["W"] = jnp.where(valid & (p_hat > 0.0), 1.0, 0.0)
 
     # Phase 2: temporal reuse (restir.wgsl:846-899)
-    uv = jnp.stack([(gx.astype(jnp.float32) + 0.5) / width,
-                    (gy.astype(jnp.float32) + 0.5) / height], axis=-1)
-    prev_uv = uv + gb["motion"]
-    in_screen = ((prev_uv[:, 0] >= 0.0) & (prev_uv[:, 0] <= 1.0)
-                 & (prev_uv[:, 1] >= 0.0) & (prev_uv[:, 1] <= 1.0))
-    prev_x = (prev_uv[:, 0] * width).astype(jnp.int32)
-    prev_y = (prev_uv[:, 1] * height).astype(jnp.int32)
+    u_scr = (gx.astype(jnp.float32) + 0.5) / width
+    v_scr = (gy.astype(jnp.float32) + 0.5) / height
+    prev_u = u_scr + gb["motion"][:, 0]
+    prev_v = v_scr + gb["motion"][:, 1]
+    in_screen = ((prev_u >= 0.0) & (prev_u <= 1.0)
+                 & (prev_v >= 0.0) & (prev_v <= 1.0))
+    prev_x = (prev_u * width).astype(jnp.int32)
+    prev_y = (prev_v * height).astype(jnp.int32)
 
-    from .gbuffer import GB_COLS, unpack_gb
+    from .gbuffer import GB_COLS
 
     comb_rows, cov = prev_view.read(prev_y, prev_x)
-    p_rows = comb_rows[..., :GB_COLS]
-    pgb = unpack_gb(p_rows)
-    p_pos = pgb["pos"]
-    p_norm = math3d.oct_decode(pgb["oct_normal"])
-    p_mat = pgb["mat_id"]
-    p_valid = pgb["valid"]
-    p_albedo = pgb["albedo"]
-    c_norm = math3d.oct_decode(gb["oct_normal"])
+    p_pos = vec3.from_rows(comb_rows, 0)                   # GB_POS
+    p_norm = vec3.oct_decode(comb_rows[:, 3], comb_rows[:, 4])
+    p_albedo = vec3.from_rows(comb_rows, 7)                # GB_ALBEDO
+    p_mat = comb_rows[:, 12].astype(jnp.int32)
+    p_valid = comb_rows[:, 13] > 0.5
+    c_norm = vec3.oct_decode(gb["oct_normal"][:, 0], gb["oct_normal"][:, 1])
 
     mid = jnp.maximum(gb["mat_id"], 0)
     is_specular = ((scene.materials["roughness"][mid] < 0.2)
                    | (scene.materials["metallic"][mid] > 0.8)
                    | (scene.materials["transmission"][mid] > 0.01))
 
+    cam3 = _cam_v3(camera["view_pos"][:3], n)
+    pos = vec3.of(gb["pos"])
     geo_ok = _is_valid_neighbor_temporal(
-        gb["pos"], c_norm, gb["mat_id"], p_pos, p_norm, p_mat,
-        camera["view_pos"][:3])
+        pos, c_norm, gb["mat_id"], p_pos, p_norm, p_mat, cam3)
     reuse = valid & in_screen & cov & p_valid & geo_ok & ~is_specular
 
     # albedo-luminance correction (restir.wgsl:879-898)
-    l_curr = math3d.luminance(gb["albedo"]) + 1e-3
-    l_prev = math3d.luminance(p_albedo) + 1e-3
+    albedo = vec3.of(gb["albedo"])
+    l_curr = vec3.luminance(albedo) + 1e-3
+    l_prev = vec3.luminance(p_albedo) + 1e-3
     albedo_ratio = l_curr / l_prev
     reuse &= (albedo_ratio < 3.0) & (albedo_ratio > 0.33)
 
@@ -284,23 +296,25 @@ def restir_temporal(scene, gb, prev_view, camera,
     for k in ("w_sum", "W", "p_hat"):
         res[k] = jnp.where(valid, res[k], 0.0)
     res["M"] = jnp.where(valid, res["M"], 0)
-    res["s_path"] = jnp.where(valid[:, None], res["s_path"], 0.0)
-    res["rad"] = jnp.where(valid[:, None], res["rad"], 0.0)
+    res["s_path"] = vec3.where(valid, res["s_path"], 0.0)
+    res["rad"] = vec3.where(valid, res["rad"], 0.0)
     res["rad_ok"] = valid & res["rad_ok"]
     return res, pr["rays"]
 
 
 def _calculate_jacobian(curr_pos, curr_normal, curr_albedo,
                         neighbor_v1, n_pos, n_normal, n_albedo):
-    """Reconnection-shift Jacobian (restir_spatial.wgsl:822-854)."""
+    """Reconnection-shift Jacobian (restir_spatial.wgsl:822-854). V3 args."""
     dir_curr = neighbor_v1 - curr_pos
-    cos_curr = jnp.maximum(math3d.dot(curr_normal, math3d.normalize(dir_curr)), 0.0)
+    cos_curr = jnp.maximum(vec3.dot(curr_normal, vec3.normalize(dir_curr)),
+                           0.0)
     dir_neigh = neighbor_v1 - n_pos
-    cos_neigh = jnp.maximum(math3d.dot(n_normal, math3d.normalize(dir_neigh)), 0.0)
+    cos_neigh = jnp.maximum(vec3.dot(n_normal, vec3.normalize(dir_neigh)),
+                            0.0)
 
     jac = cos_curr / jnp.maximum(cos_neigh, 1e-12)
-    lum_curr = math3d.luminance(curr_albedo) + 1e-3
-    lum_neigh = math3d.luminance(n_albedo) + 1e-3
+    lum_curr = vec3.luminance(curr_albedo) + 1e-3
+    lum_neigh = vec3.luminance(n_albedo) + 1e-3
     jac = jac * (lum_curr / lum_neigh)
     jac = jnp.clip(jac, 0.1, 10.0)
     return jnp.where(cos_neigh <= 1e-3, 0.0, jac)
@@ -316,7 +330,7 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
 
     Returns (out_reservoirs, hdr_radiance [n,3], ray_count, diag).
     """
-    from .gbuffer import GB_COLS, unpack_gb
+    from .gbuffer import GB_COLS
     from .trace_api import scene_occluded
 
     width, height = ctx["width"], ctx["height"]
@@ -326,11 +340,12 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
     local_seed = seed_init
 
     valid = gb["valid"]
-    pos = gb["pos"]
-    normal = math3d.oct_decode(gb["oct_normal"])
+    pos = vec3.of(gb["pos"])
+    normal = vec3.oct_decode(gb["oct_normal"][:, 0], gb["oct_normal"][:, 1])
     mat_id = gb["mat_id"]
-    albedo = gb["albedo"]
+    albedo = vec3.of(gb["albedo"])
     camera_pos = camera["view_pos"][:3]
+    cam3 = _cam_v3(camera_pos, gx.shape[0])
 
     mid = jnp.maximum(mat_id, 0)
     is_specular = ((scene.materials["roughness"][mid] < 0.1)
@@ -346,13 +361,10 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         over, res["w_sum"] * MAX_M_SPATIAL / jnp.maximum(res["M"], 1), res["w_sum"])
     res["M"] = jnp.minimum(res["M"], MAX_M_SPATIAL)
 
-    # Tap batching (default on for non-huge frames): all 5 disk taps'
-    # neighbor reads, Jacobians and shadow rays are prepared up front and
-    # their visibility re-checks ride ONE any-hit traversal (5R rays,
-    # pixel-interleaved so a ray block covers ~BR/5 pixels' worth of taps
-    # with shared origins -> shared chunk worklists) instead of 5
-    # separate traversal calls inside the scan, each paying the fixed
-    # per-call sweep cost (PERF.md).
+    # Tap batching (opt-in): all 5 disk taps' neighbor reads, Jacobians
+    # and shadow rays are prepared up front and their visibility
+    # re-checks ride ONE any-hit traversal (5R rays, pixel-interleaved)
+    # instead of 5 separate traversal calls inside the scan.
     #
     # RNG NOTE: the reference draws the reservoir-update rnd only AFTER
     # the tap passes its visibility trace (restir_spatial.wgsl:993 -
@@ -396,23 +408,24 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         ny = gy + oy
 
         comb_rows, cov = comb_view.read(ny, nx)
-        ngb = unpack_gb(comb_rows[..., :GB_COLS])
-        ok = it_active & cov & ngb["valid"]
-        n_pos = ngb["pos"]
-        n_norm = math3d.oct_decode(ngb["oct_normal"])
+        n_valid = comb_rows[:, 13] > 0.5
+        ok = it_active & cov & n_valid
+        n_pos = vec3.from_rows(comb_rows, 0)
+        n_norm = vec3.oct_decode(comb_rows[:, 3], comb_rows[:, 4])
         ok &= _is_valid_neighbor_spatial(
-            scene, pos, normal, mat_id, n_pos, n_norm, ngb["mat_id"],
-            camera_pos)
+            scene, pos, normal, mat_id, n_pos, n_norm,
+            comb_rows[:, 12].astype(jnp.int32), cam3)
 
         nbres = unpack_reservoirs(comb_rows[..., GB_COLS:])
         ok &= nbres["p_hat"] > 0.0
         jac = _calculate_jacobian(pos, normal, albedo, nbres["s_path"],
-                                  n_pos, n_norm, ngb["albedo"])
+                                  n_pos, n_norm,
+                                  vec3.from_rows(comb_rows, 7))
         ok &= ~(is_specular & ((jac < 0.5) | (jac > 2.0)))
 
         dir_to_v1 = nbres["s_path"] - pos
-        dist_to_v1 = math3d.length(dir_to_v1)
-        facing = math3d.dot(normal, dir_to_v1) > 0.0
+        dist_to_v1 = vec3.length(dir_to_v1)
+        facing = vec3.dot(normal, dir_to_v1) > 0.0
         shadow_active = ok & facing & (dist_to_v1 > 1e-3)
         local_seed, rnd = rng.rand_lcg_if(local_seed, shadow_active)
         tap = {
@@ -422,7 +435,7 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
             "nb_w": nbres["W"],
             "nb_spath": nbres["s_path"],
             "shadow_active": shadow_active,
-            "dir": dir_to_v1 / jnp.maximum(dist_to_v1, 1e-12)[:, None],
+            "dir": dir_to_v1 / jnp.maximum(dist_to_v1, 1e-12),
             "t_max": jnp.maximum(dist_to_v1 * 0.999, 0.0),
             "rnd": rnd,
         }
@@ -432,13 +445,20 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         local_seed, taps = jax.lax.scan(
             tap_prep, local_seed, jnp.arange(5, dtype=jnp.int32))
         r_lanes = gx.shape[0]
+
         # pixel-interleaved [5R] stream: pixel p's 5 taps are adjacent
-        act5 = jnp.swapaxes(taps["shadow_active"], 0, 1).reshape(-1)
+        def inter(a):                                   # [5, R] -> [5R]
+            return jnp.swapaxes(a, 0, 1).reshape(-1)
+
+        def bcast(a):                                   # [R] -> [5R]
+            return jnp.broadcast_to(a[:, None], (r_lanes, 5)).reshape(-1)
+
+        act5 = inter(taps["shadow_active"])
+        o5 = V3(bcast(pos.x), bcast(pos.y), bcast(pos.z))
+        d5 = V3(inter(taps["dir"].x), inter(taps["dir"].y),
+                inter(taps["dir"].z))
         blocked5 = scene_occluded(
-            scene,
-            jnp.broadcast_to(pos[:, None, :], (r_lanes, 5, 3)).reshape(-1, 3),
-            jnp.swapaxes(taps["dir"], 0, 1).reshape(-1, 3),
-            1e-3, jnp.swapaxes(taps["t_max"], 0, 1).reshape(-1),
+            scene, o5, d5, 1e-3, inter(taps["t_max"]),
             active=act5, reorder=ctx.get("reorder", "none"))
         blocked = jnp.swapaxes(blocked5.reshape(r_lanes, 5), 0, 1)  # [5, R]
         ray_count = jnp.sum(act5.astype(jnp.float32))
@@ -451,8 +471,7 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
             res = _update_reservoir(res, ok, tap["nb_y"], weight,
                                     tap["rnd"], tap["m_new"],
                                     tap["p_hat_corr"], tap["nb_spath"],
-                                    jnp.zeros((3,), jnp.float32)[None],
-                                    jnp.bool_(False))
+                                    0.0, jnp.bool_(False))
             return res, None
 
         res, _ = jax.lax.scan(merge, res, (taps, blocked))
@@ -472,16 +491,15 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         ny = gy + oy
 
         comb_rows, cov = comb_view.read(ny, nx)
-        ngb = unpack_gb(comb_rows[..., :GB_COLS])
-        n_valid = ngb["valid"]
-        n_pos = ngb["pos"]
-        n_norm = math3d.oct_decode(ngb["oct_normal"])
-        n_mat = ngb["mat_id"]
-        n_alb = ngb["albedo"]
+        n_valid = comb_rows[:, 13] > 0.5
+        n_pos = vec3.from_rows(comb_rows, 0)
+        n_norm = vec3.oct_decode(comb_rows[:, 3], comb_rows[:, 4])
+        n_mat = comb_rows[:, 12].astype(jnp.int32)
+        n_alb = vec3.from_rows(comb_rows, 7)
 
         ok = it_active & cov & n_valid
         ok &= _is_valid_neighbor_spatial(
-            scene, pos, normal, mat_id, n_pos, n_norm, n_mat, camera_pos)
+            scene, pos, normal, mat_id, n_pos, n_norm, n_mat, cam3)
 
         nbres = unpack_reservoirs(comb_rows[..., GB_COLS:])
         nb_y = nbres["y"]
@@ -497,13 +515,13 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
 
         # visibility re-check to the neighbor's v1 (restir_spatial.wgsl:965-984)
         dir_to_v1 = nb_spath - pos
-        dist_to_v1 = math3d.length(dir_to_v1)
-        facing = math3d.dot(normal, dir_to_v1) > 0.0
+        dist_to_v1 = vec3.length(dir_to_v1)
+        facing = vec3.dot(normal, dir_to_v1) > 0.0
         far_enough = dist_to_v1 > 1e-3
         shadow_active = ok & facing & far_enough
         ray_count = ray_count + jnp.sum(shadow_active.astype(jnp.float32))
         blocked = scene_occluded(
-            scene, pos, dir_to_v1 / jnp.maximum(dist_to_v1, 1e-12)[:, None],
+            scene, pos, dir_to_v1 / jnp.maximum(dist_to_v1, 1e-12),
             1e-3, jnp.maximum(dist_to_v1 * 0.999, 0.0), active=shadow_active,
             reorder=ctx.get("reorder", "none"))
         ok = shadow_active & ~blocked
@@ -516,8 +534,7 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         # surface; the shift-mapped replay from this pixel differs, so
         # adopting a neighbor seed always invalidates the dedup cache.
         res = _update_reservoir(res, ok, nb_y, weight, rnd, m_new,
-                                p_hat_corr, nb_spath,
-                                jnp.zeros((3,), jnp.float32)[None],
+                                p_hat_corr, nb_spath, 0.0,
                                 jnp.bool_(False))
         return (res, local_seed, ray_count), None
 
@@ -539,27 +556,27 @@ def _spatial_finalize(scene, gb, res, camera_pos, valid, ray_count, ctx):
     final = path_trace.trace_path(scene, gb, camera_pos, res["y"],
                                   active=~cached,
                                   reorder=ctx.get("reorder", "none"))
-    radiance = jnp.where(cached[:, None], res["rad"], final["radiance"])
-    p_hat_final = math3d.luminance(radiance)
-    res["s_path"] = jnp.where(cached[:, None], res["s_path"],
-                              final["v1_pos"])
+    radiance = vec3.where(cached, res["rad"], vec3.of(final["radiance"]))
+    p_hat_final = vec3.luminance(radiance)
+    res["s_path"] = vec3.where(cached, res["s_path"],
+                               vec3.of(final["v1_pos"]))
     m_f = jnp.maximum(res["M"].astype(jnp.float32), 1.0)
     has_energy = valid & (p_hat_final > 0.0)
     w_unclamped = (1.0 / jnp.maximum(p_hat_final, 1e-20)) * (res["w_sum"] / m_f)
     res["W"] = jnp.where(has_energy, jnp.clip(w_unclamped, 0.0, MAX_W), 0.0)
     res["p_hat"] = jnp.where(has_energy, p_hat_final, 0.0)
-    hdr = jnp.where(has_energy[:, None], radiance * res["W"][:, None], 0.0)
+    hdr = vec3.arr(vec3.where(has_energy, radiance * res["W"], 0.0))
 
     # next-frame cache: `rad` now holds the true replay radiance of `y` at
     # this pixel (traced or equal-by-determinism).
-    res["rad"] = jnp.where(valid[:, None], radiance, 0.0)
+    res["rad"] = vec3.where(valid, radiance, 0.0)
     res["rad_ok"] = valid
 
     for k in ("w_sum", "W", "p_hat"):
         res[k] = jnp.where(valid, res[k], 0.0)
     res["M"] = jnp.where(valid, res["M"], 0)
     res["y"] = jnp.where(valid, res["y"], 0)
-    res["s_path"] = jnp.where(valid[:, None], res["s_path"], 0.0)
+    res["s_path"] = vec3.where(valid, res["s_path"], 0.0)
     diag = {"cached": jnp.sum((cached & valid).astype(jnp.float32)),
             "lanes": jnp.sum(valid.astype(jnp.float32))}
     return res, hdr, ray_count + final["rays"], diag

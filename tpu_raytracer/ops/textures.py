@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..scene.material import NO_TEXTURE
+from ..utils import vec3
 
 
 def pack_pairs(tex):
@@ -27,7 +28,7 @@ def pack_pairs(tex):
     return jnp.concatenate([tex, right, down, down_right], axis=-1)
 
 
-def sample_bilinear(tex_quads, layer, uv):
+def sample_bilinear(tex_quads, layer, u, v):
     """Sample a quad-packed [L, H, W, 12] array with repeat addressing +
     bilinear filter (a single row gather per sample).
 
@@ -36,27 +37,31 @@ def sample_bilinear(tex_quads, layer, uv):
       layer: [R] int32 texture ids. ``NO_TEXTURE`` lanes return 1.0 (callers
         typically multiply; matches the reference's `if tex_id != 65535`
         guards, e.g. gbuffer.wgsl:182-193).
-      uv: [R, 2] float32.
+      u, v: [R] float32 texture coordinates.
 
-    Returns [R, 3] float32.
+    Returns a V3 of dense [R] channels (the quad gather row stays the only
+    wide intermediate - the lerps run on unpadded component arrays).
     """
     l, h, w = tex_quads.shape[0], tex_quads.shape[1], tex_quads.shape[2]
     valid = layer != NO_TEXTURE
     layer_safe = jnp.where(valid, jnp.minimum(layer, l - 1), 0)
 
-    x = uv[:, 0] * w - 0.5
-    y = uv[:, 1] * h - 0.5
+    x = u * w - 0.5
+    y = v * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
+    fx = x - x0
+    fy = y - y0
     xi0 = jnp.mod(x0.astype(jnp.int32), w)
     yi0 = jnp.mod(y0.astype(jnp.int32), h)
 
     flat = tex_quads.reshape(-1, 12)
     quad = flat[layer_safe * (h * w) + yi0 * w + xi0].astype(jnp.float32)
 
-    top = quad[:, 0:3] * (1 - fx) + quad[:, 3:6] * fx
-    bot = quad[:, 6:9] * (1 - fx) + quad[:, 9:12] * fx
-    out = top * (1 - fy) + bot * fy
-    return jnp.where(valid[:, None], out, 1.0)
+    def chan(k):
+        top = quad[:, k] * (1 - fx) + quad[:, 3 + k] * fx
+        bot = quad[:, 6 + k] * (1 - fx) + quad[:, 9 + k] * fx
+        out = top * (1 - fy) + bot * fy
+        return jnp.where(valid, out, 1.0)
+
+    return vec3.V3(chan(0), chan(1), chan(2))

@@ -73,6 +73,10 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
                 reorder="none"):
     """Closest-hit (any_hit=False) or occlusion-style first-hit query.
 
+    ray_o/ray_d: [R, 3] arrays OR component tuples/V3s of three [R]
+    arrays (the wavefront's native form - the Pallas path consumes the
+    components directly so no padded [R, 3] array is ever built).
+
     `reorder` ("none" | "live" | "bins") permutes the ray stream before
     blocking (ops/compaction.py) - a pure performance knob; results are
     identical across modes up to exact-t ties between triangles in
@@ -81,6 +85,14 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
     Instanced scenes (scene.instanced, the shared-BLAS analogue) return
     an extra "inst" id per lane; callers feed it to hit.reconstruct_hit.
     """
+    is_comp = isinstance(ray_o, tuple)
+    if is_comp and not (not scene.instanced
+                        and scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS
+                        and jax.default_backend() == "tpu"):
+        # non-component consumers (instanced kernel, CPU fallbacks, BVH
+        # walk) take the packed form; one stack at the boundary
+        ray_o = jnp.stack(list(ray_o), axis=-1)
+        ray_d = jnp.stack(list(ray_d), axis=-1)
     if scene.instanced:
         if jax.default_backend() == "tpu":
             return pallas_trace.trace_instanced_pallas(
