@@ -48,7 +48,7 @@ INF = 3.0e38
 # relayouts), so a 262k-ray sweep pays a ~10 ms floor at BR=256 even
 # with every lane dead; fatter blocks amortize it. VMEM bound: the
 # [BR, 4*CT*grp] f32 window-test intermediates.
-BR = int(os.environ.get("TPU_RT_BR", "512"))
+BR = int(os.environ.get("TPU_RT_BR", "1024"))
 CT = 128      # triangles per inner chunk (lane-major) = cull granularity
 _MT_EPS = 1e-9
 

@@ -104,15 +104,20 @@ def pack_reservoirs(res: dict):
 
 
 def unpack_reservoirs(rows):
+    return unpack_reservoir_cols([rows[..., k] for k in range(12)])
+
+
+def unpack_reservoir_cols(c):
+    """12 dense [R] columns (pack_reservoirs order) -> reservoir dict."""
     return {
-        "y": jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32),
-        "w_sum": rows[..., 1],
-        "M": rows[..., 2].astype(jnp.int32),
-        "W": rows[..., 3],
-        "p_hat": rows[..., 4],
-        "s_path": V3(rows[..., 5], rows[..., 6], rows[..., 7]),
-        "rad": V3(rows[..., 8], rows[..., 9], rows[..., 10]),
-        "rad_ok": rows[..., 11] > 0.5,
+        "y": jax.lax.bitcast_convert_type(c[0], jnp.uint32),
+        "w_sum": c[1],
+        "M": c[2].astype(jnp.int32),
+        "W": c[3],
+        "p_hat": c[4],
+        "s_path": V3(c[5], c[6], c[7]),
+        "rad": V3(c[8], c[9], c[10]),
+        "rad_ok": c[11] > 0.5,
     }
 
 
@@ -232,12 +237,12 @@ def restir_temporal(scene, gb, prev_view, camera,
 
     from .gbuffer import GB_COLS
 
-    comb_rows, cov = prev_view.read(prev_y, prev_x)
-    p_pos = vec3.from_rows(comb_rows, 0)                   # GB_POS
-    p_norm = vec3.oct_decode(comb_rows[:, 3], comb_rows[:, 4])
-    p_albedo = vec3.from_rows(comb_rows, 7)                # GB_ALBEDO
-    p_mat = comb_rows[:, 12].astype(jnp.int32)
-    p_valid = comb_rows[:, 13] > 0.5
+    comb_c, cov = prev_view.read_cols(prev_y, prev_x)
+    p_pos = V3(comb_c[0], comb_c[1], comb_c[2])            # GB_POS
+    p_norm = vec3.oct_decode(comb_c[3], comb_c[4])
+    p_albedo = V3(comb_c[7], comb_c[8], comb_c[9])         # GB_ALBEDO
+    p_mat = comb_c[12].astype(jnp.int32)
+    p_valid = comb_c[13] > 0.5
     c_norm = vec3.oct_decode(gb["oct_normal"][:, 0], gb["oct_normal"][:, 1])
 
     mid = jnp.maximum(gb["mat_id"], 0)
@@ -258,7 +263,7 @@ def restir_temporal(scene, gb, prev_view, camera,
     albedo_ratio = l_curr / l_prev
     reuse &= (albedo_ratio < 3.0) & (albedo_ratio > 0.33)
 
-    prev_res = unpack_reservoirs(comb_rows[..., GB_COLS:])
+    prev_res = unpack_reservoir_cols(comb_c[GB_COLS:])
     prev_y_seed = prev_res["y"]
     prev_w = prev_res["W"]
     prev_m = prev_res["M"]
@@ -407,20 +412,20 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         nx = gx + ox
         ny = gy + oy
 
-        comb_rows, cov = comb_view.read(ny, nx)
-        n_valid = comb_rows[:, 13] > 0.5
+        comb_c, cov = comb_view.read_cols(ny, nx)
+        n_valid = comb_c[13] > 0.5
         ok = it_active & cov & n_valid
-        n_pos = vec3.from_rows(comb_rows, 0)
-        n_norm = vec3.oct_decode(comb_rows[:, 3], comb_rows[:, 4])
+        n_pos = V3(comb_c[0], comb_c[1], comb_c[2])
+        n_norm = vec3.oct_decode(comb_c[3], comb_c[4])
         ok &= _is_valid_neighbor_spatial(
             scene, pos, normal, mat_id, n_pos, n_norm,
-            comb_rows[:, 12].astype(jnp.int32), cam3)
+            comb_c[12].astype(jnp.int32), cam3)
 
-        nbres = unpack_reservoirs(comb_rows[..., GB_COLS:])
+        nbres = unpack_reservoir_cols(comb_c[GB_COLS:])
         ok &= nbres["p_hat"] > 0.0
         jac = _calculate_jacobian(pos, normal, albedo, nbres["s_path"],
                                   n_pos, n_norm,
-                                  vec3.from_rows(comb_rows, 7))
+                                  V3(comb_c[7], comb_c[8], comb_c[9]))
         ok &= ~(is_specular & ((jac < 0.5) | (jac > 2.0)))
 
         dir_to_v1 = nbres["s_path"] - pos
@@ -490,18 +495,18 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         nx = gx + ox
         ny = gy + oy
 
-        comb_rows, cov = comb_view.read(ny, nx)
-        n_valid = comb_rows[:, 13] > 0.5
-        n_pos = vec3.from_rows(comb_rows, 0)
-        n_norm = vec3.oct_decode(comb_rows[:, 3], comb_rows[:, 4])
-        n_mat = comb_rows[:, 12].astype(jnp.int32)
-        n_alb = vec3.from_rows(comb_rows, 7)
+        comb_c, cov = comb_view.read_cols(ny, nx)
+        n_valid = comb_c[13] > 0.5
+        n_pos = V3(comb_c[0], comb_c[1], comb_c[2])
+        n_norm = vec3.oct_decode(comb_c[3], comb_c[4])
+        n_mat = comb_c[12].astype(jnp.int32)
+        n_alb = V3(comb_c[7], comb_c[8], comb_c[9])
 
         ok = it_active & cov & n_valid
         ok &= _is_valid_neighbor_spatial(
             scene, pos, normal, mat_id, n_pos, n_norm, n_mat, cam3)
 
-        nbres = unpack_reservoirs(comb_rows[..., GB_COLS:])
+        nbres = unpack_reservoir_cols(comb_c[GB_COLS:])
         nb_y = nbres["y"]
         nb_w = nbres["W"]
         nb_m = nbres["M"]

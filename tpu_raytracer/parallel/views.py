@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 
 
+def _transpose_cols(rows):
+    """[R, C] -> list of C dense [R] columns via one tiled transpose."""
+    rt = rows.T
+    return [rt[k] for k in range(rows.shape[-1])]
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["data", "y0"],
          meta_fields=["width", "height", "band_h", "halo"])
@@ -54,6 +60,16 @@ class BandView:
         idx = jnp.clip(local_row, 0, self.band_h + 2 * self.halo - 1) * self.width \
             + jnp.clip(gx, 0, self.width - 1)
         return self.data[idx], valid
+
+    def read_cols(self, gy, gx):
+        """`read`, de-interleaved: (list of C dense [R] columns, valid).
+
+        One tiled [R, C] -> [C, R] transpose after the gather, then free
+        major-dim slices - cheaper than per-column slices of the row-major
+        gather result, which XLA lowers as a T(8,128) -> T(1024) layout
+        transpose ~10x below HBM bandwidth (scripts/ucb_cols.py)."""
+        rows, valid = self.read(gy, gx)
+        return _transpose_cols(rows), valid
 
     def as_2d(self):
         """[(band_h + 2*halo), width, ...] image-shaped view."""
@@ -95,6 +111,17 @@ class PairBandView:
         idx = jnp.clip(local_row, 0, self.band_h + 2 * self.halo - 1) * self.width \
             + jnp.clip(gx, 0, self.width - 1)
         return jnp.concatenate([self.a[idx], self.b[idx]], axis=-1), valid
+
+    def read_cols(self, gy, gx):
+        """As BandView.read_cols; the two row gathers transpose separately,
+        so the column lists concatenate for free (no [R, Ca+Cb] copy)."""
+        local_row = gy - self.y0 + self.halo
+        in_cover = (local_row >= 0) & (local_row < self.band_h + 2 * self.halo)
+        in_image = (gy >= 0) & (gy < self.height) & (gx >= 0) & (gx < self.width)
+        valid = in_cover & in_image
+        idx = jnp.clip(local_row, 0, self.band_h + 2 * self.halo - 1) * self.width \
+            + jnp.clip(gx, 0, self.width - 1)
+        return _transpose_cols(self.a[idx]) + _transpose_cols(self.b[idx]), valid
 
 
 def trivial_pair_view(a, b, width: int, height: int) -> PairBandView:
