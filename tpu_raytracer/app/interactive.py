@@ -47,6 +47,7 @@ def load_scene(name: str):
         "helmet": scene_catalog.create_damaged_helmet_scene,
         "vrm": scene_catalog.create_multi_material_model_scene,
         "truffle": scene_catalog.create_chocolate_truffle_scene,
+        "knot": scene_catalog.create_dense_knot_scene,
     }
     if name in catalog:
         return catalog[name]()

@@ -310,6 +310,25 @@ def create_chocolate_truffle_scene(
     return b.build()
 
 
+def create_dense_knot_scene(path: str = None):
+    """Dense textured workload: the ~100k-tri procedural trefoil knot.
+
+    Equivalent role to the reference's DamagedHelmet run
+    (scenes.rs:334-347, ~100k tris + full PBR texture set): a
+    beyond-VMEM mesh with base-color / normal / metallic-roughness
+    textures, loaded through the REAL .glb loader path (the asset is
+    generated deterministically on first use - models/dense_asset.py)."""
+    from .dense_asset import ensure_dense_asset
+
+    if path is None:
+        path = ensure_dense_asset()
+    return create_gltf_scene(
+        path,
+        model_transform=translation([0, 1.2, 0]) @ scale(1.1),
+        light_transform=(translation([0, 5.0, 0]) @ rotation_x(PI)
+                         @ scale(1.5)))
+
+
 def create_bunny_scene(subdiv_fallback: int = 4):
     """BASELINE config 3: triangle-mesh scene in a box with instancing.
 
