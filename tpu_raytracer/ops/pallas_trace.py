@@ -50,6 +50,14 @@ INF = 3.0e38
 # [BR, 4*CT*grp] f32 window-test intermediates.
 BR = int(os.environ.get("TPU_RT_BR", "1024"))
 CT = 128      # triangles per inner chunk (lane-major) = cull granularity
+
+
+def _mxus_grp() -> int:
+    """Streamed-kernel group width, VMEM-bounded: the [BR, 4*CT*grp] f32
+    product must stay <= the ~8.4 MB validated at (BR=512, grp=8); at
+    BR=1024 that means grp=4, at 2048 grp=2 (a 16.8 MB product faults
+    the kernel)."""
+    return max(1, (512 * 8) // BR)
 _MT_EPS = 1e-9
 
 # Intersector kernel variant:
@@ -82,7 +90,7 @@ MXU_MAX_TP = 48 * 1024
 def _mode_grp(mode: str) -> int:
     """Chunks swept per loop step for grouped modes (mxufN/mxuwN/anyN)."""
     if mode.startswith("mxuf") or mode.startswith("mxuw") \
-            or mode.startswith("mxus"):
+            or mode.startswith("mxus") or mode.startswith("mxuv"):
         return int(mode[4:]) if len(mode) > 4 else GROUP
     if mode.startswith("any"):
         return int(mode[3:]) if len(mode) > 3 else 2
@@ -190,12 +198,13 @@ def default_coef_grp(tp: int) -> int:
     Returns 0 when the active kernel doesn't consume coef48."""
     mode = KERNEL_MODE
     nc = tp // CT
-    if mode == "mxuf2" and nc > 48:
-        mode = "mxuf8"
-    if (mode.startswith("mxuf") or mode.startswith("any")) \
-            and tp > MXUF_MAX_TP:
-        mode = "mxus8"
-    if not (mode.startswith("mxuf") or mode.startswith("mxus")):
+    if mode in ("mxuf2", "mxuv2") and nc > 48:
+        mode = f"{mode[:4]}{max(2, min(8, _mxus_grp()))}"
+    if (mode.startswith("mxuf") or mode.startswith("mxuv")
+            or mode.startswith("any")) and tp > MXUF_MAX_TP:
+        mode = f"mxus{_mxus_grp()}"
+    if not (mode.startswith("mxuf") or mode.startswith("mxus")
+            or mode.startswith("mxuv")):
         return 0
     return _mode_grp(mode)
 
@@ -357,6 +366,118 @@ def _mt_kernel_mxuf(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
             return carry
 
         jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
+
+
+def _mt_kernel_mxuv(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
+                    t_ref, idx_ref, tn_ref, d_ref, slot_ref, done_ref, *,
+                    num_groups, use_worklist=True, grp=2, early=True):
+    """Selection-free fused-pass MXU sweep ("mxuv"): same K=48 dot as
+    `_mt_kernel_mxuf`, but the per-chunk winner selection is gone.
+
+    Two VPU savings per chunk vs mxuf:
+      * NO per-chunk cross-lane argmin/min reduction - the running best
+        lives as a [BR, CT] matrix (column j = triangle slot j of
+        whichever chunk last won it); ONE argmin runs after the sweep.
+      * NO per-element division - t never materializes in the loop; the
+        "closer" test cross-multiplies numerator/denominator pairs
+        (t_a < t_b  <=>  tn_a*d_b < tn_b*d_a, all denominators positive
+        by the sign-fold), exactly the trick the any-hit kernel plays
+        on its window bounds. One [BR, CT] division runs at finalize.
+
+    The winner's exact t/u/v are recomputed outside the kernel
+    (ops/hit.py) as with every mxu* mode, so the pair representation
+    only has to ORDER candidates correctly to f32 rounding.
+
+    Tie semantics: equal-t triangles in DIFFERENT columns resolve to the
+    lower column index (mxuf resolved to the earlier worklist unit);
+    exact-t ties were already sweep-order dependent (ops/compaction.py
+    note) and carry no RNG-order consequences.
+
+    Front-to-back early termination (entry-sorted worklists) keeps the
+    mxuf economics: lane termination = exists column with
+    tn < next_entry * d (one mult + compare, division-free).
+    """
+    rays = rays_ref[:]
+    t_min = rays[6][:, None]
+    t_max = rays[7][:, None]
+
+    b = pl.program_id(0)
+    n_live = count_ref[b] if use_worklist else num_groups
+    cols = grp * 4 * CT
+
+    # dead lanes (t_max <= 0): tn = -INF so the termination test always
+    # passes for them and no candidate ever compares closer (hit is
+    # false anyway - their t window is empty). Live lanes start at
+    # tn/d = INF/1. (f32 broadcast, not bool: Mosaic rejects bool
+    # minor-dim broadcasts.)
+    sgn_live = jnp.where(rays[7] > 0.0, 1.0, -1.0)         # [BR]
+    tn_ref[:, :] = jnp.broadcast_to((sgn_live * INF)[:, None], (BR, CT))
+    d_ref[:, :] = jnp.ones((BR, CT), jnp.float32)
+    slot_ref[:, :] = jnp.full((BR, CT), -1, jnp.int32)
+    t_ref[0, :] = jnp.where(sgn_live > 0.0, INF, 0.0)
+    idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
+    if early:
+        done_ref[0] = jnp.int32(0)
+
+    @pl.when(n_live > 0)
+    def _():
+        feat = _feat48(rays)
+
+        def sweep_group(g):
+            prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
+            for k in range(grp):             # unrolled: VPU tests per chunk
+                o = k * 4 * CT
+                det = prod[:, o:o + CT]
+                u_n = prod[:, o + CT:o + 2 * CT]
+                v_n = prod[:, o + 2 * CT:o + 3 * CT]
+                t_n = prod[:, o + 3 * CT:o + 4 * CT]
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                d_abs = det * sgn
+                ok = d_abs > _MT_EPS
+                u2 = u_n * sgn
+                v2 = v_n * sgn
+                tn2 = t_n * sgn
+                hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+                       & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
+                tb = tn_ref[:, :]
+                db = d_ref[:, :]
+                improved = hit & (tn2 * db < tb * d_abs)
+                tn_ref[:, :] = jnp.where(improved, tn2, tb)
+                d_ref[:, :] = jnp.where(improved, d_abs, db)
+                slot_ref[:, :] = jnp.where(
+                    improved, jnp.int32(g * grp + k), slot_ref[:, :])
+
+        if early:
+            def group(i, carry):
+                @pl.when(done_ref[0] == 0)
+                def _():
+                    sweep_group(list_ref[i, b])
+                    nxt = entry_ref[jnp.minimum(i + 1, num_groups - 1), b]
+                    okm = tn_ref[:, :] < nxt * d_ref[:, :]
+                    ray_ok = jnp.max(jnp.where(okm, 1.0, 0.0), axis=1)
+                    done_ref[0] = (jnp.min(ray_ok) > 0.0).astype(jnp.int32)
+                return carry
+
+            jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
+        else:
+            def group(i, carry):
+                sweep_group(list_ref[i, b] if use_worklist else i)
+                return carry
+
+            jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
+
+        # finalize: ONE division + ONE cross-lane argmin per block
+        sb = slot_ref[:, :]
+        t_mat = jnp.where(sb >= 0, tn_ref[:, :] / d_ref[:, :], INF)
+        col = jnp.argmin(t_mat, axis=1)                    # first-min col
+        t_best = jnp.min(t_mat, axis=1)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (BR, CT), 1)
+                  == col[:, None])
+        slot_win = jnp.sum(jnp.where(onehot, sb, 0), axis=1)
+        have = t_best < INF
+        t_ref[0, :] = jnp.where(have, t_best, t_ref[0, :])
+        idx_ref[0, :] = jnp.where(
+            have, slot_win * CT + col.astype(jnp.int32), -1)
 
 
 def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
@@ -1148,11 +1269,12 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     e_blk = jnp.where(ray_hit, t_lo, INF).min(axis=2).T    # [nb, NC]
 
     mode = kernel
-    if mode == "mxuf2" and num_chunks > 48:
+    if mode in ("mxuf2", "mxuv2") and num_chunks > 48:
         # dense scenes want wide dots (fewer loop steps; bunny: 110 ms
         # at grp 2 vs 35 ms at grp 8, scripts/ucb_kern.py --bunny); small
-        # scenes want fine cull granularity
-        mode = "mxuf8"
+        # scenes want fine cull granularity. Group width is VMEM-capped
+        # against BR (see _mxus_grp).
+        mode = f"{mode[:4]}{max(2, min(8, _mxus_grp()))}"
     if any_hit and not mode.startswith("vpu") \
             and os.environ.get("TPU_RT_ANYHIT", "1") != "0":
         # occlusion queries take the early-out kernel (same group width
@@ -1160,12 +1282,12 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
         mode = f"any{_mode_grp(mode)}" if _mode_grp(mode) > 1 else "any2"
     if mode.startswith("mxuw") and tp > MXUW_MAX_TP:
         mode = "mxu3"
-    if (mode.startswith("mxuf") or mode.startswith("any")) \
-            and tp > MXUF_MAX_TP:
+    if (mode.startswith("mxuf") or mode.startswith("mxuv")
+            or mode.startswith("any")) and tp > MXUF_MAX_TP:
         # beyond VMEM residency: stream the coef from HBM (the streamed
         # kernel keeps the any-hit fast path - no argmin/division,
         # all-occluded early exit - via the any_hit flag)
-        mode = "mxus8"
+        mode = f"mxus{_mxus_grp()}"
     if mode.startswith("mxu") and not mode.startswith("mxuw") \
             and not mode.startswith("mxuf") and not mode.startswith("mxus") \
             and tp > MXU_MAX_TP:
@@ -1229,6 +1351,20 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
         scratch_shapes = [pltpu.SMEM((1,), jnp.int32)]
         kernel = functools.partial(
             _mt_kernel_any, num_groups=num_units,
+            use_worklist=use_worklist, grp=grp, early=early)
+    elif mode.startswith("mxuv"):
+        grp = _mode_grp(mode)
+        tri_arg = _coef48_or(coef48, coef48_grp, tri_planes, grp)
+        tri_spec = pl.BlockSpec(tri_arg.shape, lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+        scratch_shapes = [
+            pltpu.VMEM((BR, CT), jnp.float32),
+            pltpu.VMEM((BR, CT), jnp.float32),
+            pltpu.VMEM((BR, CT), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ]
+        kernel = functools.partial(
+            _mt_kernel_mxuv, num_groups=num_units,
             use_worklist=use_worklist, grp=grp, early=early)
     elif mode.startswith("mxus"):
         grp = _mode_grp(mode)
