@@ -32,7 +32,8 @@ def test_mxu_matches_vpu():
     ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
                                           kernel="vpu")
     ref_tri = np.asarray(ref["tri"])
-    for mode in ("mxu3", "mxuw", "mxuf1", "mxuf2", "mxuf4"):
+    for mode in ("mxu3", "mxuw", "mxuf1", "mxuf2", "mxuf4", "mxuv2",
+                 "mxuv4"):
         out = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3,
                                               50.0, kernel=mode)
         out_tri = np.asarray(out["tri"])
@@ -115,14 +116,16 @@ def test_early_out_coherent_rays(monkeypatch):
 
     ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
                                           kernel="vpu", active=active)
-    out = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
-                                          kernel="mxuf2", active=active)
-    ref_tri = np.asarray(ref["tri"])
-    out_tri = np.asarray(out["tri"])
-    assert ((ref_tri >= 0) == (out_tri >= 0)).mean() > 0.999
-    both = (ref_tri >= 0) & (out_tri >= 0)
-    assert (ref_tri[both] == out_tri[both]).mean() > 0.999
-    assert not (out_tri[~np.asarray(active)] >= 0).any()
+    for mode in ("mxuf2", "mxuv2"):
+        out = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3,
+                                              50.0, kernel=mode,
+                                              active=active)
+        ref_tri = np.asarray(ref["tri"])
+        out_tri = np.asarray(out["tri"])
+        assert ((ref_tri >= 0) == (out_tri >= 0)).mean() > 0.999, mode
+        both = (ref_tri >= 0) & (out_tri >= 0)
+        assert (ref_tri[both] == out_tri[both]).mean() > 0.999, mode
+        assert not (out_tri[~np.asarray(active)] >= 0).any()
 
 
 def test_streamed_kernel_beyond_vmem():
