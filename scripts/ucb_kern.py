@@ -25,7 +25,7 @@ def main():
 
     base = None
     for mode in ("vpu", "mxu3", "mxuf1", "mxuf2", "mxuf4", "mxuf8",
-                 "mxuw2", "mxuw4"):
+                 "mxuv1", "mxuv2", "mxuv4", "mxuv8", "mxuw2", "mxuw4"):
         fn = jax.jit(lambda o, d, m=mode: pallas_trace.trace_brute_pallas(
             scene.tri_planes, scene.chunk_aabb, o, d, 1e-3, 100.0,
             kernel=m)["t"])

@@ -163,6 +163,37 @@ def test_streamed_kernel_beyond_vmem():
     assert ((np.asarray(any_out["tri"]) >= 0) == (ot >= 0)).mean() > 0.999
 
 
+def test_streamed_matrix_best(monkeypatch):
+    """TPU_RT_MXUS_V=1 swaps the streamed closest-hit's argmin/division
+    selection for the mxuv running [BR, CT] best; results must agree
+    with the exact sweep in both loop variants."""
+    monkeypatch.setenv("TPU_RT_MXUS_V", "1")
+    rng = np.random.default_rng(21)
+    t = pallas_trace.MXUF_MAX_TP + pallas_trace.CT
+    v0 = rng.standard_normal((t, 3)).astype(np.float32) * 3
+    e1 = rng.standard_normal((t, 3)).astype(np.float32) * 0.3
+    e2 = rng.standard_normal((t, 3)).astype(np.float32) * 0.3
+    planes, aabb, _ = pallas_trace.pack_triangles(v0, e1, e2)
+    planes, aabb = jnp.asarray(planes), jnp.asarray(aabb)
+
+    r = 640
+    ro = jnp.asarray(rng.standard_normal((r, 3)).astype(np.float32) * 4)
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, 50.0,
+                                          kernel="vpu")
+    rt = np.asarray(ref["tri"])
+    for early_min in ("1", "100000"):        # early path / carry path
+        monkeypatch.setenv("TPU_RT_EARLY_MIN", early_min)
+        out = pallas_trace.trace_brute_pallas(
+            planes, aabb, ro, rd, 1e-3, 50.0, kernel="mxuf2")  # -> mxus
+        ot = np.asarray(out["tri"])
+        assert ((rt >= 0) == (ot >= 0)).mean() > 0.999, early_min
+        both = (rt >= 0) & (ot >= 0)
+        assert (rt[both] == ot[both]).mean() > 0.99, early_min
+
+
 def test_streamed_early_out(monkeypatch):
     """mxus front-to-back termination (+ DMA drain) is result-invariant:
     coherent rays against a layered beyond-VMEM scene agree with the

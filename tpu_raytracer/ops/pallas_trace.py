@@ -663,9 +663,9 @@ def _nonzero(d, eps=1e-12):
 
 
 def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
-                    t_ref, idx_ref, buf_ref, sem_ref, done_ref, *,
+                    t_ref, idx_ref, buf_ref, sem_ref, *scratch,
                     num_groups, any_hit, use_worklist=True, grp=8,
-                    early=True):
+                    early=True, matrix_best=False):
     """HBM-STREAMED fused-pass sweep: the coef matrix stays in HBM and
     each worklist unit's [48, 4*grp*CT] slice is DMA'd into a VMEM
     double buffer one step ahead of the sweep - triangle capacity is no
@@ -682,7 +682,17 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
     in flight - drained on the next iteration, never left dangling at
     kernel exit - and 2 = drained), because the next unit's copy is
     issued before its sweep decides we are done.
+
+    matrix_best=True (closest-hit only; TPU_RT_MXUS_V=1): the per-chunk
+    argmin/min + per-element division are replaced by the mxuv running
+    [BR, CT] numerator/denominator best (see _mt_kernel_mxuv), reduced
+    once per block - the DMA stream is untouched, only the VPU half of
+    each unit shrinks.
     """
+    if matrix_best:
+        tn_ref, d_ref, slot_ref, done_ref = scratch
+    else:
+        (done_ref,) = scratch
     rays = rays_ref[:]
     t_min = rays[6][:, None]
     t_max = rays[7][:, None]
@@ -713,10 +723,71 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
         t_ref[0, :] = jnp.where(live0, INF, 0.0)
         idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
     done_ref[0] = jnp.int32(0)
+    if matrix_best and not any_hit:
+        # see _mt_kernel_mxuv: dead lanes at tn = -INF (always "done",
+        # never improved); live lanes at tn/d = INF/1
+        sgn_live = jnp.where(rays[7] > 0.0, 1.0, -1.0)
+        tn_ref[:, :] = jnp.broadcast_to((sgn_live * INF)[:, None], (BR, CT))
+        d_ref[:, :] = jnp.ones((BR, CT), jnp.float32)
+        slot_ref[:, :] = jnp.full((BR, CT), -1, jnp.int32)
 
     @pl.when(n_live > 0)
     def _():
         start_copy(0, 0)
+
+    def sweep_cols_mat(prod, g):
+        for k in range(grp):
+            o = k * 4 * CT
+            det = prod[:, o:o + CT]
+            u_n = prod[:, o + CT:o + 2 * CT]
+            v_n = prod[:, o + 2 * CT:o + 3 * CT]
+            t_n = prod[:, o + 3 * CT:o + 4 * CT]
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            d_abs = det * sgn
+            ok = d_abs > _MT_EPS
+            u2 = u_n * sgn
+            v2 = v_n * sgn
+            tn2 = t_n * sgn
+            hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
+                   & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
+            tb = tn_ref[:, :]
+            db = d_ref[:, :]
+            improved = hit & (tn2 * db < tb * d_abs)
+            tn_ref[:, :] = jnp.where(improved, tn2, tb)
+            d_ref[:, :] = jnp.where(improved, d_abs, db)
+            slot_ref[:, :] = jnp.where(
+                improved, jnp.int32(g * grp + k), slot_ref[:, :])
+
+    def finalize_mat():
+        sb = slot_ref[:, :]
+        t_mat = jnp.where(sb >= 0, tn_ref[:, :] / d_ref[:, :], INF)
+        col = jnp.argmin(t_mat, axis=1)
+        t_best = jnp.min(t_mat, axis=1)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (BR, CT), 1)
+                  == col[:, None])
+        slot_win = jnp.sum(jnp.where(onehot, sb, 0), axis=1)
+        have = t_best < INF
+        t_ref[0, :] = jnp.where(have, t_best, t_ref[0, :])
+        idx_ref[0, :] = jnp.where(
+            have, slot_win * CT + col.astype(jnp.int32), -1)
+
+    if matrix_best and not any_hit and not early:
+        def group_m(i, carry):
+            @pl.when(i + 1 < n_live)
+            def _():
+                start_copy(i + 1, (i + 1) % 2)
+
+            wait_copy(i % 2)
+            g = list_ref[i, b] if use_worklist else i
+            sweep_cols_mat(_dot48(feat, buf_ref[i % 2]), g)
+            return carry
+
+        jax.lax.fori_loop(0, n_live, group_m, jnp.int32(0))
+
+        @pl.when(n_live > 0)
+        def _():
+            finalize_mat()
+        return
 
     if not early:
         # CARRY-based loop (no per-unit ref round-trips / scalar branch -
@@ -813,6 +884,12 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
                 idx_ref[0, :] = jnp.where(
                     hit_acc > 0.0, 1, -1).astype(jnp.int32)
                 term = jnp.min(jnp.maximum(hit_acc, inactive)) > 0.0
+            elif matrix_best:
+                sweep_cols_mat(prod, g)
+                nxt = entry_ref[jnp.minimum(i + 1, num_groups - 1), b]
+                okm = tn_ref[:, :] < nxt * d_ref[:, :]
+                ray_ok = jnp.max(jnp.where(okm, 1.0, 0.0), axis=1)
+                term = jnp.min(ray_ok) > 0.0
             else:
                 t_best = t_ref[0, :]
                 idx_best = idx_ref[0, :]
@@ -858,6 +935,11 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
         return carry
 
     jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
+
+    if matrix_best and not any_hit:
+        @pl.when(n_live > 0)
+        def _():
+            finalize_mat()
 
 
 def _mt_kernel_mxuw(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
@@ -1371,14 +1453,23 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
         cols = grp * 4 * CT
         tri_arg = _coef48_or(coef48, coef48_grp, tri_planes, grp)
         tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)   # stays in HBM
+        matrix_best = (not any_hit
+                       and os.environ.get("TPU_RT_MXUS_V", "0") == "1")
         scratch_shapes = [
             pltpu.VMEM((2, 48, cols), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((1,), jnp.int32),
         ]
+        if matrix_best:
+            scratch_shapes += [
+                pltpu.VMEM((BR, CT), jnp.float32),
+                pltpu.VMEM((BR, CT), jnp.float32),
+                pltpu.VMEM((BR, CT), jnp.int32),
+            ]
+        scratch_shapes.append(pltpu.SMEM((1,), jnp.int32))
         kernel = functools.partial(
             _mt_kernel_mxus, num_groups=num_units, any_hit=any_hit,
-            use_worklist=use_worklist, grp=grp, early=early)
+            use_worklist=use_worklist, grp=grp, early=early,
+            matrix_best=matrix_best)
     elif mode.startswith("mxuf"):
         grp = _mode_grp(mode)
         tri_arg = _coef48_or(coef48, coef48_grp, tri_planes, grp)
