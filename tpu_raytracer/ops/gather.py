@@ -136,6 +136,78 @@ def onehot_gather(table_hi, table_lo, idx):
     return out[:r]
 
 
+# ---------------------------------------------------------------------------
+# Transposed Pallas one-hot gather: [C, R] output, one-hot never in HBM
+# ---------------------------------------------------------------------------
+
+OGC_BR = 512     # rays per block
+
+
+def split_exact3(table):
+    """[T, C] f32 -> three bf16 parts whose f32 sum is EXACT.
+
+    bf16 holds 8 mantissa bits; three staggered roundings cover f32's 24,
+    so hi + mid + lo == table bit-exactly (each residual has <= 8
+    significant bits left). The splits run at XLA level, so they MUST go
+    through reduce_precision - XLA folds a naive f32->bf16->f32
+    round-trip to identity under jit (PERF.md r2)."""
+    hi = jax.lax.reduce_precision(table, 8, 7)
+    rem = table - hi
+    mid = jax.lax.reduce_precision(rem, 8, 7)
+    lo = rem - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
+def _onehot_cols_kernel(idx_ref, hi_ref, mid_ref, lo_ref, out_ref, *, t):
+    idx = idx_ref[0, :]                                    # [BR]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (OGC_BR, t), 1)
+    oh = (lanes == idx[:, None]).astype(jnp.bfloat16)      # [BR, T] in VMEM
+
+    def dt(tab_ref):
+        return jax.lax.dot_general(
+            tab_ref[:], oh, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [C, BR]
+
+    # one nonzero per one-hot row and an exact 3-way split => the f32
+    # accumulation reconstructs the table value bit-exactly
+    out_ref[:, :] = dt(hi_ref) + dt(mid_ref) + dt(lo_ref)
+
+
+def onehot_gather_cols(table, idx):
+    """table [T, C] f32, idx [R] i32 -> [C, R] f32, bit-exact rows.
+
+    The XLA transposed one-hot (`select_gather_cols`) materializes a
+    [T, R] f32 one-hot in HBM - 1.5 GB (~3.1 ms HBM-bound) for a 1.4k-row
+    tri table at 262k rays. Here each 512-ray block builds its [BR, T]
+    one-hot IN VMEM and the MXU contracts it against the bf16-split
+    table, so HBM traffic is just idx in + [C, R] out. Invalid idx
+    (e.g. -1 miss lanes) return zero rows, like the XLA one-hot."""
+    t, c = table.shape
+    r = idx.shape[0]
+    rp = max(((r + OGC_BR - 1) // OGC_BR) * OGC_BR, OGC_BR)
+    idx_p = jnp.full((rp,), -1, jnp.int32).at[:r].set(idx.astype(jnp.int32))
+
+    hi, mid, lo = split_exact3(table)
+    kernel = functools.partial(_onehot_cols_kernel, t=t)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rp // OGC_BR,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, OGC_BR), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, OGC_BR), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, rp), jnp.float32),
+    )(idx_p[None, :], hi, mid, lo)
+    return out[:, :r]
+
+
 def pad_table(table: np.ndarray, row_mult: int = 128,
               col_mult: int = 128) -> np.ndarray:
     t, c = table.shape

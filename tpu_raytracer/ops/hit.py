@@ -21,11 +21,13 @@ material sets, falling back to a native row gather for large ones.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from ..utils import vec3
 from ..utils.vec3 import V3
-from .gather import select_gather_cols
+from .gather import onehot_gather_cols, select_gather_cols
 
 SELECT_GATHER_MAX = 32
 
@@ -33,19 +35,29 @@ SELECT_GATHER_MAX = 32
 # (2 GB; at 262k rays that admits tables up to 2048 rows)
 ONEHOT_BUDGET_BYTES = 1 << 31
 
+# rows cap for the VMEM-resident Pallas one-hot (3x [T, C] bf16 tables +
+# one [512, T] one-hot per block stay well inside VMEM)
+PALLAS_ONEHOT_MAX_ROWS = 8192
+
 
 def fetch_cols(table, idx):
     """Winner-row fetch: table [M, C], idx [R] -> list of C dense [R]s.
 
-    Small/mid tables ride the MXU: the transposed exact-f32 one-hot
-    matmul emits [C, R] with the ray axis minor, so every component is a
-    free dense slice (3.1 ms vs 7.2 ms for gather + XLA column slices at
-    262k rays x 1.3k rows - the column slices are a T(8,128) -> T(1024)
-    layout transpose XLA lowers poorly; scripts/ucb_cols.py). Tables too
-    large for the one-hot footprint fall back to the native row gather
+    Small/mid tables ride the MXU: a transposed one-hot matmul emits
+    [C, R] with the ray axis minor, so every component is a free dense
+    slice (vs 7.2 ms for gather + XLA column slices at 262k rays x 1.3k
+    rows - the column slices are a T(8,128) -> T(1024) layout transpose
+    XLA lowers poorly; scripts/ucb_cols.py). TPU_RT_OHG=1 keeps the
+    one-hot in VMEM (Pallas kernel, exact 3-way bf16 split) instead of
+    materializing the [M, R] f32 one-hot in HBM (~3.1 ms HBM-bound at
+    1.4k x 262k). Tables too large fall back to the native row gather
     plus ONE tiled transpose, keeping the major-dim slices free."""
     m, c = table.shape
     r = idx.shape[0]
+    if (m <= PALLAS_ONEHOT_MAX_ROWS
+            and os.environ.get("TPU_RT_OHG", "0") == "1"):
+        out = onehot_gather_cols(table, idx)
+        return [out[k] for k in range(c)]
     if m * r * 4 <= ONEHOT_BUDGET_BYTES:
         return select_gather_cols(table, idx)
     rt = table[idx].T                                  # [C, R], R minor
