@@ -369,7 +369,7 @@ def _mt_kernel_mxuf(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
 
 
 def _mt_kernel_mxuv(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
-                    t_ref, idx_ref, tn_ref, d_ref, slot_ref, done_ref, *,
+                    t_ref, idx_ref, tn_ref, d_ref, idm_ref, done_ref, *,
                     num_groups, use_worklist=True, grp=2, early=True):
     """Selection-free fused-pass MXU sweep ("mxuv"): same K=48 dot as
     `_mt_kernel_mxuf`, but the per-chunk winner selection is gone.
@@ -388,10 +388,11 @@ def _mt_kernel_mxuv(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
     (ops/hit.py) as with every mxu* mode, so the pair representation
     only has to ORDER candidates correctly to f32 rounding.
 
-    Tie semantics: equal-t triangles in DIFFERENT columns resolve to the
-    lower column index (mxuf resolved to the earlier worklist unit);
-    exact-t ties were already sweep-order dependent (ops/compaction.py
-    note) and carry no RNG-order consequences.
+    Tie semantics: equal-t triangles resolve to the LOWEST GLOBAL
+    TRIANGLE ID - a deterministic, block-layout-independent tie-break
+    (mxuf resolved cross-chunk ties by sweep order, which depends on
+    which rays share a block; ops/compaction.py note). No RNG-order
+    consequences either way.
 
     Front-to-back early termination (entry-sorted worklists) keeps the
     mxuf economics: lane termination = exists column with
@@ -408,16 +409,18 @@ def _mt_kernel_mxuv(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
     # dead lanes (t_max <= 0): tn = -INF so the termination test always
     # passes for them and no candidate ever compares closer (hit is
     # false anyway - their t window is empty). Live lanes start at
-    # tn/d = INF/1. (f32 broadcast, not bool: Mosaic rejects bool
-    # minor-dim broadcasts.)
+    # tn/d = INF/1. (f32 broadcasts throughout - Mosaic rejects bool
+    # minor-dim broadcasts; ids ride f32, exact below 2^24.)
     sgn_live = jnp.where(rays[7] > 0.0, 1.0, -1.0)         # [BR]
     tn_ref[:, :] = jnp.broadcast_to((sgn_live * INF)[:, None], (BR, CT))
     d_ref[:, :] = jnp.ones((BR, CT), jnp.float32)
-    slot_ref[:, :] = jnp.full((BR, CT), -1, jnp.int32)
+    idm_ref[:, :] = jnp.full((BR, CT), -1.0, jnp.float32)
     t_ref[0, :] = jnp.where(sgn_live > 0.0, INF, 0.0)
     idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
     if early:
         done_ref[0] = jnp.int32(0)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.float32, (BR, CT), 1)
 
     @pl.when(n_live > 0)
     def _():
@@ -442,10 +445,10 @@ def _mt_kernel_mxuv(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
                 tb = tn_ref[:, :]
                 db = d_ref[:, :]
                 improved = hit & (tn2 * db < tb * d_abs)
+                gid = ((g * grp + k) * CT).astype(jnp.float32) + col_iota
                 tn_ref[:, :] = jnp.where(improved, tn2, tb)
                 d_ref[:, :] = jnp.where(improved, d_abs, db)
-                slot_ref[:, :] = jnp.where(
-                    improved, jnp.int32(g * grp + k), slot_ref[:, :])
+                idm_ref[:, :] = jnp.where(improved, gid, idm_ref[:, :])
 
         if early:
             def group(i, carry):
@@ -466,18 +469,17 @@ def _mt_kernel_mxuv(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
 
             jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
 
-        # finalize: ONE division + ONE cross-lane argmin per block
-        sb = slot_ref[:, :]
-        t_mat = jnp.where(sb >= 0, tn_ref[:, :] / d_ref[:, :], INF)
-        col = jnp.argmin(t_mat, axis=1)                    # first-min col
+        # finalize: ONE division + TWO cross-lane min-reductions per
+        # block (no argmin / no integer minor-dim broadcasts - only
+        # f32 ops with proven Mosaic lowerings)
+        idm = idm_ref[:, :]
+        t_mat = jnp.where(idm < 0.0, INF, tn_ref[:, :] / d_ref[:, :])
         t_best = jnp.min(t_mat, axis=1)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (BR, CT), 1)
-                  == col[:, None])
-        slot_win = jnp.sum(jnp.where(onehot, sb, 0), axis=1)
+        win = t_mat <= t_best[:, None]
+        idx_f = jnp.min(jnp.where(win, idm, INF), axis=1)
         have = t_best < INF
         t_ref[0, :] = jnp.where(have, t_best, t_ref[0, :])
-        idx_ref[0, :] = jnp.where(
-            have, slot_win * CT + col.astype(jnp.int32), -1)
+        idx_ref[0, :] = jnp.where(have, idx_f, -1.0).astype(jnp.int32)
 
 
 def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
@@ -690,7 +692,7 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
     each unit shrinks.
     """
     if matrix_best:
-        tn_ref, d_ref, slot_ref, done_ref = scratch
+        tn_ref, d_ref, idm_ref, done_ref = scratch
     else:
         (done_ref,) = scratch
     rays = rays_ref[:]
@@ -729,11 +731,13 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
         sgn_live = jnp.where(rays[7] > 0.0, 1.0, -1.0)
         tn_ref[:, :] = jnp.broadcast_to((sgn_live * INF)[:, None], (BR, CT))
         d_ref[:, :] = jnp.ones((BR, CT), jnp.float32)
-        slot_ref[:, :] = jnp.full((BR, CT), -1, jnp.int32)
+        idm_ref[:, :] = jnp.full((BR, CT), -1.0, jnp.float32)
 
     @pl.when(n_live > 0)
     def _():
         start_copy(0, 0)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.float32, (BR, CT), 1)
 
     def sweep_cols_mat(prod, g):
         for k in range(grp):
@@ -753,23 +757,20 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
             tb = tn_ref[:, :]
             db = d_ref[:, :]
             improved = hit & (tn2 * db < tb * d_abs)
+            gid = ((g * grp + k) * CT).astype(jnp.float32) + col_iota
             tn_ref[:, :] = jnp.where(improved, tn2, tb)
             d_ref[:, :] = jnp.where(improved, d_abs, db)
-            slot_ref[:, :] = jnp.where(
-                improved, jnp.int32(g * grp + k), slot_ref[:, :])
+            idm_ref[:, :] = jnp.where(improved, gid, idm_ref[:, :])
 
     def finalize_mat():
-        sb = slot_ref[:, :]
-        t_mat = jnp.where(sb >= 0, tn_ref[:, :] / d_ref[:, :], INF)
-        col = jnp.argmin(t_mat, axis=1)
+        idm = idm_ref[:, :]
+        t_mat = jnp.where(idm < 0.0, INF, tn_ref[:, :] / d_ref[:, :])
         t_best = jnp.min(t_mat, axis=1)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (BR, CT), 1)
-                  == col[:, None])
-        slot_win = jnp.sum(jnp.where(onehot, sb, 0), axis=1)
+        win = t_mat <= t_best[:, None]
+        idx_f = jnp.min(jnp.where(win, idm, INF), axis=1)
         have = t_best < INF
         t_ref[0, :] = jnp.where(have, t_best, t_ref[0, :])
-        idx_ref[0, :] = jnp.where(
-            have, slot_win * CT + col.astype(jnp.int32), -1)
+        idx_ref[0, :] = jnp.where(have, idx_f, -1.0).astype(jnp.int32)
 
     if matrix_best and not any_hit and not early:
         def group_m(i, carry):
@@ -1442,7 +1443,7 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
         scratch_shapes = [
             pltpu.VMEM((BR, CT), jnp.float32),
             pltpu.VMEM((BR, CT), jnp.float32),
-            pltpu.VMEM((BR, CT), jnp.int32),
+            pltpu.VMEM((BR, CT), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ]
         kernel = functools.partial(
@@ -1463,7 +1464,7 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
             scratch_shapes += [
                 pltpu.VMEM((BR, CT), jnp.float32),
                 pltpu.VMEM((BR, CT), jnp.float32),
-                pltpu.VMEM((BR, CT), jnp.int32),
+                pltpu.VMEM((BR, CT), jnp.float32),
             ]
         scratch_shapes.append(pltpu.SMEM((1,), jnp.int32))
         kernel = functools.partial(
