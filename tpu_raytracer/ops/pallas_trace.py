@@ -199,7 +199,11 @@ def default_coef_grp(tp: int) -> int:
     mode = KERNEL_MODE
     nc = tp // CT
     if mode in ("mxuf2", "mxuv2") and nc > 48:
-        mode = f"{mode[:4]}{max(2, min(8, _mxus_grp()))}"
+        # mirror trace_brute_pallas's auto-upgrade (mxuv halves the
+        # width for its [BR, CT] scratch)
+        auto = (max(2, min(8, _mxus_grp())) if mode == "mxuf2"
+                else max(2, _mxus_grp() // 2))
+        mode = f"{mode[:4]}{auto}"
     if (mode.startswith("mxuf") or mode.startswith("mxuv")
             or mode.startswith("any")) and tp > MXUF_MAX_TP:
         mode = f"mxus{_mxus_grp()}"
@@ -1356,8 +1360,11 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
         # dense scenes want wide dots (fewer loop steps; bunny: 110 ms
         # at grp 2 vs 35 ms at grp 8, scripts/ucb_kern.py --bunny); small
         # scenes want fine cull granularity. Group width is VMEM-capped
-        # against BR (see _mxus_grp).
-        mode = f"{mode[:4]}{max(2, min(8, _mxus_grp()))}"
+        # against BR (see _mxus_grp); mxuv additionally carries 3x
+        # [BR, CT] f32 scratch, so it takes half the width.
+        auto = (max(2, min(8, _mxus_grp())) if mode == "mxuf2"
+                else max(2, _mxus_grp() // 2))
+        mode = f"{mode[:4]}{auto}"
     if any_hit and not mode.startswith("vpu") \
             and os.environ.get("TPU_RT_ANYHIT", "1") != "0":
         # occlusion queries take the early-out kernel (same group width
