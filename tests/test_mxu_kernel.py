@@ -244,6 +244,43 @@ def test_streamed_early_out(monkeypatch):
     assert not (at[~np.asarray(active)] >= 0).any()
 
 
+def test_segmented_worklists(monkeypatch):
+    """Past the SMEM worklist budget the sweep splits into t_max-chained
+    unit-range segments (TPU_RT_SEG_CAP forces a tiny cap here); results
+    must agree with the exact single sweep for closest-hit AND any-hit,
+    including windowed/dead lanes."""
+    monkeypatch.setenv("TPU_RT_SEG_CAP", "7")
+    monkeypatch.setenv("TPU_RT_EARLY_MIN", "4")
+    rng = np.random.default_rng(31)
+    planes, aabb = _scene(rng, t=4000)      # 32 chunks -> 16 grp2 units
+    r = 900
+    ro = jnp.asarray(rng.standard_normal((r, 3)).astype(np.float32) * 3)
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+    t_max = jnp.asarray(rng.uniform(0.5, 20.0, (r,)).astype(np.float32))
+    active = jnp.asarray(rng.uniform(size=r) > 0.25)
+
+    ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, t_max,
+                                          kernel="vpu", active=active)
+    rt = np.asarray(ref["tri"])
+    for mode in ("mxuf2", "mxuv2"):
+        out = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3,
+                                              t_max, kernel=mode,
+                                              active=active)
+        ot = np.asarray(out["tri"])
+        assert ((rt >= 0) == (ot >= 0)).mean() > 0.999, mode
+        both = (rt >= 0) & (ot >= 0)
+        assert (rt[both] == ot[both]).mean() > 0.999, mode
+        assert not (ot[~np.asarray(active)] >= 0).any()
+
+    any_out = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, t_max, any_hit=True, kernel="mxuf2",
+        active=active)
+    at = np.asarray(any_out["tri"])
+    assert ((at >= 0) == (rt >= 0)).mean() > 0.999
+    assert not (at[~np.asarray(active)] >= 0).any()
+
+
 def test_mxu_coef_identity():
     """phi(ray) @ coef == direct MT terms (f64 check of the derivation)."""
     rng = np.random.default_rng(4)

@@ -1391,16 +1391,58 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
             e_blk = jnp.concatenate(
                 [e_blk, jnp.full((nb, pad), INF, jnp.float32)], axis=1)
         e_blk = e_blk.reshape(nb, ng, grp).min(axis=2)     # [nb, NG]
-    counts = (e_blk < INF).sum(axis=1).astype(jnp.int32)   # [nb]
-    # worklist sorted front-to-back (INF = unhit units sort last; count
-    # excludes them); stored [U, nb]
-    order = jnp.argsort(e_blk, axis=1, stable=True)
-    chunk_list = order.astype(jnp.int32).T
-    entry_list = jnp.take_along_axis(e_blk, order, axis=1).T
+    num_units_all = e_blk.shape[1]
+    nb_pad = ((nb + 127) // 128) * 128
+    cap_units = int(os.environ.get("TPU_RT_SEG_CAP", "0")) \
+        or (512 * 1024) // (nb_pad * 8)
+    if num_units_all <= cap_units or dest is not None:
+        # single sweep (dest-permuted streams can't chain t_max through
+        # segments - they keep the legacy no-worklist fallback if huge)
+        counts = (e_blk < INF).sum(axis=1).astype(jnp.int32)   # [nb]
+        # worklist sorted front-to-back (INF = unhit units sort last;
+        # count excludes them); stored [U, nb]
+        order = jnp.argsort(e_blk, axis=1, stable=True)
+        chunk_list = order.astype(jnp.int32).T
+        entry_list = jnp.take_along_axis(e_blk, order, axis=1).T
+        return _run_kernel(rays, tri_planes, counts, chunk_list, entry_list,
+                           r, rp, nb, num_chunks, tp, any_hit, dest=dest,
+                           mode=mode, coef48=coef48, coef48_grp=coef48_grp)
 
-    return _run_kernel(rays, tri_planes, counts, chunk_list, entry_list,
-                       r, rp, nb, num_chunks, tp, any_hit, dest=dest,
-                       mode=mode, coef48=coef48, coef48_grp=coef48_grp)
+    # --- SEGMENTED sweep: worklists past the SMEM budget split into
+    # unit-id ranges (BVH-DFS order keeps ranges spatially coherent) and
+    # the kernel runs once per segment with the ray window CHAINED:
+    # closest-hit feeds each lane's running best t in as the next
+    # segment's t_max (strict < keeps the earlier segment's winner on
+    # exact ties = the lowest triangle id); any-hit kills occluded lanes
+    # (t_max = 0), so later segments' prepasses cull them entirely. This
+    # keeps culling + front-to-back termination at ANY triangle count -
+    # previously such scenes fell back to the no-worklist full sweep.
+    n_seg = -(-num_units_all // cap_units)
+    seg = -(-num_units_all // n_seg)
+    t_best = jnp.full((r,), INF, jnp.float32)
+    idx_best = jnp.full((r,), -1, jnp.int32)
+    t_max_now = rays[7, :r]
+    for s in range(n_seg):
+        lo = s * seg
+        hi = min(lo + seg, num_units_all)
+        e_s = e_blk[:, lo:hi]
+        counts_s = (e_s < INF).sum(axis=1).astype(jnp.int32)
+        order_s = jnp.argsort(e_s, axis=1, stable=True)
+        chunk_list_s = (order_s + lo).astype(jnp.int32).T
+        entry_list_s = jnp.take_along_axis(e_s, order_s, axis=1).T
+        if s:
+            lane_max = (jnp.minimum(t_max_now, t_best) if not any_hit
+                        else jnp.where(idx_best >= 0, 0.0, t_max_now))
+            rays = rays.at[7, :r].set(lane_max)
+        out = _run_kernel(rays, tri_planes, counts_s, chunk_list_s,
+                          entry_list_s, r, rp, nb, num_chunks, tp, any_hit,
+                          mode=mode, coef48=coef48, coef48_grp=coef48_grp)
+        got = out["tri"] >= 0
+        t_best = jnp.where(got, out["t"], t_best)
+        idx_best = jnp.where(got, out["tri"], idx_best)
+    missed = idx_best < 0
+    return {"t": jnp.where(missed, jnp.float32(INF), t_best),
+            "tri": idx_best}
 
 
 def _coef48_or(coef48, coef48_grp, tri_planes, grp):

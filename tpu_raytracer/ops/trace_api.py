@@ -17,9 +17,11 @@ from . import pallas_trace, traversal
 
 # Above this the swept path gives way to the BVH pointer walk. The
 # HBM-streamed kernel (pallas_trace "mxus") removes the VMEM residency
-# bound; the remaining ceiling is the SMEM worklist budget
-# (~128 group units x 8 chunks x 128 tris at 512^2 blocking).
-BRUTE_FORCE_MAX_TRIS = 131072
+# bound, and SEGMENTED worklists (t_max-chained sweeps over unit-id
+# ranges, pallas_trace.py) remove the SMEM worklist budget; the
+# remaining ceiling is the XLA slab-test prepass whose cost grows
+# linearly with chunks x rays (~1.3 s/call at 1M tris, 262k rays).
+BRUTE_FORCE_MAX_TRIS = 524288
 
 
 def _trace_brute_xla(tri_planes, ray_o, ray_d, t_min, t_max, active=None):
