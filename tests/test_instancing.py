@@ -234,3 +234,32 @@ def test_instanced_refit_is_transform_only():
     m = np.asarray(rm["tri"]) >= 0
     assert np.abs(np.asarray(rm["t"])[m] - np.asarray(rr["t"])[m]).max() \
         < 1e-4
+
+
+def test_gallery_scene_memory_model():
+    """The instancing gallery (VERDICT r2 item 5 'done' bar): N instances
+    of one dense mesh cost ~1x the mesh's object-space triangle memory,
+    and the scene traces correctly against its flattened twin."""
+    import jax.numpy as jnp
+
+    from tpu_raytracer.models import scenes as catalog
+
+    s16 = catalog.create_instancing_gallery_scene(n=16, subdiv=3)
+    s64 = catalog.create_instancing_gallery_scene(n=64, subdiv=3)
+    assert s16.instanced and s64.instanced
+    # object-space triangle/coefficient blocks do NOT scale with instances
+    assert s64.tri_planes.shape == s16.tri_planes.shape
+    assert s64.coef48.shape == s16.coef48.shape
+    # per-instance additions are only affine rows + AABBs
+    assert s64.inst_aabb.shape[0] == 64 + 2      # floor + light
+    assert s64.num_triangles > 64 * 1000         # logical world tris
+
+    rng = np.random.default_rng(17)
+    o = jnp.asarray(rng.uniform(-2.5, 2.5, (512, 3)).astype(np.float32)
+                    + np.float32([0, 3, 0]))
+    d = rng.standard_normal((512, 3)).astype(np.float32) * 0.3
+    d[:, 1] = -np.abs(d[:, 1]) - 1.0             # steeply down into the grid
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    res = scene_trace(s16, o, d, 1e-3, 3.0e38)
+    assert (np.asarray(res["tri"]) >= 0).mean() > 0.9   # grid+floor cover
+    assert np.asarray(res["inst"]).max() >= 2           # spheres get hit

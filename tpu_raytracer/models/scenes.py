@@ -329,6 +329,38 @@ def create_dense_knot_scene(path: str = None):
                          @ scale(1.5)))
 
 
+def create_instancing_gallery_scene(n: int = 100, subdiv: int = 4):
+    """Gallery of `n` instances of ONE dense mesh (hsv-tinted grid).
+
+    The shared-BLAS showcase (builder.rs:143-189 economics): n instances
+    of a 5k-tri mesh cost ~1x the mesh's triangle/coefficient memory -
+    object-space planes are stored once, each instance adds only a
+    world AABB + inverse affine (scene/builder._build_instanced).
+    """
+    b = SceneBuilder()
+    plane_id = b.add_mesh(create_plane())
+    dense_id = b.add_mesh(create_sphere(subdiv))
+
+    mat_floor = b.add_material(Material((0.73, 0.73, 0.73, 1.0)))
+    b.add_instance(plane_id, mat_floor,
+                   translation([0, -1, 0]) @ scale(12.0))
+    b.register_quad_light(
+        plane_id, translation([0, 6.0, 0]) @ rotation_x(PI) @ scale(3.0),
+        [1.0, 1.0, 1.0], 8.0)
+
+    side = int(np.ceil(np.sqrt(n)))
+    for i in range(n):
+        gx, gz = i % side, i // side
+        col = hsv_to_rgb(i / max(n, 1), 0.7, 0.9)
+        mat = b.add_material(
+            Material((col[0], col[1], col[2], 1.0)).roughness(0.35))
+        x = (gx - (side - 1) / 2) * 1.5
+        z = (gz - (side - 1) / 2) * 1.5
+        b.add_instance(dense_id, mat,
+                       translation([x, -0.5, z]) @ scale(0.5))
+    return b.build(instancing="on")
+
+
 def create_bunny_scene(subdiv_fallback: int = 4):
     """BASELINE config 3: triangle-mesh scene in a box with instancing.
 
