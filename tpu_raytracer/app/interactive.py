@@ -48,6 +48,7 @@ def load_scene(name: str):
         "vrm": scene_catalog.create_multi_material_model_scene,
         "truffle": scene_catalog.create_chocolate_truffle_scene,
         "knot": scene_catalog.create_dense_knot_scene,
+        "gallery": scene_catalog.create_instancing_gallery_scene,
     }
     if name in catalog:
         return catalog[name]()
