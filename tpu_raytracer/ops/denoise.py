@@ -16,15 +16,20 @@ screenshot pass (BASELINE.md config 5):
 Pure jnp roll+mask stencils; runs identically on any backend and shards
 over row bands like the post pass (dilated taps stay within the halo for
 the sizes used at screenshot time; full-frame screenshots run unsharded).
+
+Layout (r3): every stencil runs on per-channel [H, W] PLANES (V3-of-
+planes for colors) - a rank-3 [H, W, 3] intermediate tiles its minor dim
+3 to 128 lanes on TPU (42x HBM traffic), which dominated the 4K
+screenshot time. Inputs de-interleave through ONE tiled transpose each;
+only the final output restacks.
 """
 
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 
-from ..utils import math3d
+from ..utils import vec3
+from ..utils.vec3 import V3
 
 _B3 = [1 / 16, 1 / 4, 3 / 8, 1 / 4, 1 / 16]
 
@@ -33,13 +38,20 @@ SIGMA_NORMAL = 12.0
 SIGMA_POS = 0.8
 
 
-def _shift(img, dy, dx):
-    h, w = img.shape[0], img.shape[1]
-    out = jnp.roll(img, (-dy, -dx), axis=(0, 1))
-    ys = jnp.arange(h)[:, None] + dy
-    xs = jnp.arange(w)[None, :] + dx
-    valid = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
-    return out, valid
+def _to_planes(img):
+    """[H, W, C] -> list of C dense [H, W] planes (one tiled transpose)."""
+    h, w, c = img.shape
+    t = img.reshape(h * w, c).T
+    return [t[k].reshape(h, w) for k in range(c)]
+
+
+def _shift(p, dy, dx):
+    """Roll one [H, W] plane; mask handled once by the caller."""
+    return jnp.roll(p, (-dy, -dx), axis=(0, 1))
+
+
+def _shift3(v, dy, dx):
+    return V3(_shift(v.x, dy, dx), _shift(v.y, dy, dx), _shift(v.z, dy, dx))
 
 
 def atrous_denoise(hdr, albedo, oct_normal, pos, iterations: int = 4):
@@ -52,35 +64,49 @@ def atrous_denoise(hdr, albedo, oct_normal, pos, iterations: int = 4):
 
     Returns [H, W, 3] denoised radiance.
     """
-    normal = math3d.oct_decode(oct_normal)
+    h, w = hdr.shape[0], hdr.shape[1]
+    hp = V3(*_to_planes(hdr))
+    ap = V3(*_to_planes(albedo))
+    ox, oy = _to_planes(oct_normal)
+    normal = vec3.oct_decode(ox, oy)
+    pp = V3(*_to_planes(pos))
+
     # demodulate albedo so texture detail is untouched (OIDN-style)
-    alb_safe = jnp.maximum(albedo, 1e-3)
-    irr = hdr / alb_safe
+    alb_safe = V3(jnp.maximum(ap.x, 1e-3), jnp.maximum(ap.y, 1e-3),
+                  jnp.maximum(ap.z, 1e-3))
+    irr = hp / alb_safe
+
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
 
     for level in range(iterations):
         step = 1 << level
-        sum_c = jnp.zeros_like(irr)
-        sum_w = jnp.zeros(irr.shape[:2], irr.dtype)
+        sum_c = vec3.splat(0.0, irr.x)
+        sum_w = jnp.zeros_like(irr.x)
         for ky in range(5):
             for kx in range(5):
                 dy = (ky - 2) * step
                 dx = (kx - 2) * step
-                c, ok = _shift(irr, dy, dx)
-                a, _ = _shift(albedo, dy, dx)
-                n, _ = _shift(normal, dy, dx)
-                p, _ = _shift(pos, dy, dx)
+                c = _shift3(irr, dy, dx)
+                a = _shift3(ap, dy, dx)
+                n = _shift3(normal, dy, dx)
+                p = _shift3(pp, dy, dx)
+                ok = ((ys + dy >= 0) & (ys + dy < h)
+                      & (xs + dx >= 0) & (xs + dx < w))
 
                 w_k = _B3[ky] * _B3[kx]
-                da = a - albedo
-                w_a = jnp.exp(-jnp.sum(da * da, -1) / (2 * SIGMA_ALBEDO ** 2))
-                w_n = jnp.maximum(jnp.sum(n * normal, -1), 0.0) ** SIGMA_NORMAL
-                dp = p - pos
-                w_p = jnp.exp(-jnp.sum(dp * dp, -1) / (2 * SIGMA_POS ** 2))
+                da = a - ap
+                w_a = jnp.exp(-vec3.dot(da, da) / (2 * SIGMA_ALBEDO ** 2))
+                w_n = jnp.maximum(vec3.dot(n, normal), 0.0) ** SIGMA_NORMAL
+                dp = p - pp
+                w_p = jnp.exp(-vec3.dot(dp, dp) / (2 * SIGMA_POS ** 2))
 
-                w = w_k * w_a * w_n * w_p * ok
-                sum_c = sum_c + c * w[..., None]
-                sum_w = sum_w + w
-        irr = jnp.where((sum_w > 1e-6)[..., None],
-                        sum_c / jnp.maximum(sum_w, 1e-6)[..., None], irr)
+                wgt = w_k * w_a * w_n * w_p * ok
+                sum_c = sum_c + c * wgt
+                sum_w = sum_w + wgt
+        irr = vec3.where(sum_w > 1e-6,
+                         sum_c / jnp.maximum(sum_w, 1e-6), irr)
 
-    return irr * alb_safe
+    out = irr * alb_safe
+    return jnp.stack([out.x, out.y, out.z], axis=0
+                     ).reshape(3, h * w).T.reshape(h, w, 3)
