@@ -511,7 +511,12 @@ def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
     t_ref[0, :] = rays[7]
 
     def make_sweep(feat):
-        def sweep_group(g, hit_acc):
+        def sweep_group(g, acc_mat):
+            """Accumulates hits ELEMENTWISE into a [BR, CT] f32 matrix -
+            the per-chunk cross-lane max-reduce of the earlier version
+            cost ~7 vreg ops per chunk; one elementwise max costs 1.
+            Callers reduce once (per unit for the early flag, per block
+            otherwise)."""
             prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
             for k in range(grp):
                 o = k * 4 * CT
@@ -527,9 +532,8 @@ def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
                 tn2 = t_n * sgn
                 hit = (ok & (u2 >= 0.0) & (v2 >= 0.0) & (u2 + v2 <= d_abs)
                        & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
-                hit_acc = jnp.maximum(
-                    hit_acc, jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
-            return hit_acc
+                acc_mat = jnp.maximum(acc_mat, jnp.where(hit, 1.0, 0.0))
+            return acc_mat
         return sweep_group
 
     idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
@@ -540,12 +544,13 @@ def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
         def _():
             sweep_group = make_sweep(_feat48(rays))
 
-            def body(i, hit_acc):
+            def body(i, acc_mat):
                 g = list_ref[i, b] if use_worklist else i
-                return sweep_group(g, hit_acc)
+                return sweep_group(g, acc_mat)
 
-            hit_acc = jax.lax.fori_loop(0, n_live, body,
-                                        jnp.zeros((BR,), jnp.float32))
+            acc_mat = jax.lax.fori_loop(
+                0, n_live, body, jnp.zeros((BR, CT), jnp.float32))
+            hit_acc = jnp.max(acc_mat, axis=1)
             idx_ref[0, :] = jnp.where(hit_acc > 0.0, 1, -1).astype(jnp.int32)
         return
 
@@ -559,7 +564,8 @@ def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
             @pl.when(done_ref[0] == 0)
             def _():
                 prev = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
-                found = sweep_group(list_ref[i, b], prev)
+                seed = jnp.broadcast_to(prev[:, None], (BR, CT))
+                found = jnp.max(sweep_group(list_ref[i, b], seed), axis=1)
                 idx_ref[0, :] = jnp.where(
                     found > 0.0, 1, -1).astype(jnp.int32)
                 all_done = jnp.min(jnp.maximum(found, inactive)) > 0.0
