@@ -822,8 +822,9 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
                     hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
                            & (u2 + v2 <= d_abs)
                            & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
-                    hit_acc = jnp.maximum(
-                        hit_acc, jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
+                    # elementwise [BR, CT] accumulation; reduced ONCE
+                    # after the loop (see _mt_kernel_any)
+                    hit_acc = jnp.maximum(hit_acc, jnp.where(hit, 1.0, 0.0))
                 else:
                     t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
                     hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
@@ -853,11 +854,12 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
 
         init = (jnp.full((BR,), INF, jnp.float32),
                 jnp.full((BR,), -1, jnp.int32),
-                jnp.zeros((BR,), jnp.float32))
+                jnp.zeros((BR, CT) if any_hit else (BR,), jnp.float32))
         t_best, idx_best, hit_acc = jax.lax.fori_loop(
             0, n_live, group_c, init)
         if any_hit:
-            idx_ref[0, :] = jnp.where(hit_acc > 0.0, 1, -1).astype(jnp.int32)
+            flag = jnp.max(hit_acc, axis=1)
+            idx_ref[0, :] = jnp.where(flag > 0.0, 1, -1).astype(jnp.int32)
         else:
             t_ref[0, :] = jnp.where(live0, t_best, 0.0)
             idx_ref[0, :] = idx_best
@@ -874,7 +876,8 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
             g = list_ref[i, b] if use_worklist else i
             prod = _dot48(feat, buf_ref[i % 2])
             if any_hit:
-                hit_acc = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
+                prev = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
+                acc_mat = jnp.broadcast_to(prev[:, None], (BR, CT))
                 for k in range(grp):
                     o = k * 4 * CT
                     det = prod[:, o:o + CT]
@@ -890,8 +893,10 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
                     hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
                            & (u2 + v2 <= d_abs)
                            & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
-                    hit_acc = jnp.maximum(
-                        hit_acc, jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
+                    # elementwise accumulation; ONE reduce per unit (the
+                    # termination flag needs the per-lane value)
+                    acc_mat = jnp.maximum(acc_mat, jnp.where(hit, 1.0, 0.0))
+                hit_acc = jnp.max(acc_mat, axis=1)
                 idx_ref[0, :] = jnp.where(
                     hit_acc > 0.0, 1, -1).astype(jnp.int32)
                 term = jnp.min(jnp.maximum(hit_acc, inactive)) > 0.0
