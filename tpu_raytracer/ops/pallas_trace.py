@@ -1759,7 +1759,8 @@ def _mt_kernel_inst(mask_ref, rays_ref, affine_ref, span_ref, gaabb_ref,
                 def _():
                     prod = _dot48(feat, coef_ref[:, pl.ds(g * cols, cols)])
                     if any_hit:
-                        hit_acc = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
+                        prev = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
+                        acc_mat = jnp.broadcast_to(prev[:, None], (BR, CT))
                         for k in range(grp):
                             o = k * 4 * CT
                             det = prod[:, o:o + CT]
@@ -1776,9 +1777,9 @@ def _mt_kernel_inst(mask_ref, rays_ref, affine_ref, span_ref, gaabb_ref,
                                    & (u2 + v2 <= d_abs)
                                    & (tn2 > t_min2 * d_abs)
                                    & (tn2 < t_max2 * d_abs))
-                            hit_acc = jnp.maximum(
-                                hit_acc,
-                                jnp.max(jnp.where(hit, 1.0, 0.0), axis=1))
+                            acc_mat = jnp.maximum(
+                                acc_mat, jnp.where(hit, 1.0, 0.0))
+                        hit_acc = jnp.max(acc_mat, axis=1)
                         idx_ref[0, :] = jnp.where(
                             hit_acc > 0.0, 1, -1).astype(jnp.int32)
                         inst_ref[0, :] = jnp.where(
