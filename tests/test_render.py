@@ -128,6 +128,24 @@ def test_checkpoint_roundtrip(tmp_path):
     assert cs["yaw"] == 0.5 and cs["pitch"] == -0.25
 
 
+def test_checkpoint_format_mismatch_rejected(tmp_path):
+    """A checkpoint from an older packed-row layout must fail LOUDLY at
+    load (ADVICE r2: pre-dedup 8-col reservoirs silently clamped)."""
+    import json
+
+    import pytest
+
+    path = str(tmp_path / "old.npz")
+    meta = {"format": {"gb_cols": 14, "res_cols": 8},  # pre-dedup layout
+            "frame_count": 3,
+            "camera": {"position": [0, 0, 0], "yaw": 0.0, "pitch": 0.0,
+                       "prev_view_proj": None}}
+    np.savez_compressed(path, meta=json.dumps(meta),
+                        accum=np.zeros((64, 3), np.float32))
+    with pytest.raises(ValueError, match="incompatible"):
+        checkpoint.load(path)
+
+
 def test_camera_controller_dynamics():
     cam = camera_mod.CameraController()
     p0 = cam.position.copy()
