@@ -1425,19 +1425,23 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     # closest-hit feeds each lane's running best t in as the next
     # segment's t_max (strict < keeps the earlier segment's winner on
     # exact ties = the lowest triangle id); any-hit kills occluded lanes
-    # (t_max = 0), so later segments' prepasses cull them entirely. This
-    # keeps culling + front-to-back termination at ANY triangle count -
-    # previously such scenes fell back to the no-worklist full sweep.
+    # (t_max = 0). The slab prepass ran once with the ORIGINAL window, so
+    # later segments additionally drop units whose conservative entry
+    # distance lies beyond every live lane's chained bound (a [nb, seg]
+    # compare - entries sort ascending, so tightening the COUNT is enough
+    # to keep the front-to-back contract). This keeps culling + early
+    # termination at ANY triangle count - previously such scenes fell
+    # back to the no-worklist full sweep.
     n_seg = -(-num_units_all // cap_units)
     seg = -(-num_units_all // n_seg)
     t_best = jnp.full((r,), INF, jnp.float32)
     idx_best = jnp.full((r,), -1, jnp.int32)
     t_max_now = rays[7, :r]
+    lane_pad = rp - r
     for s in range(n_seg):
         lo = s * seg
         hi = min(lo + seg, num_units_all)
         e_s = e_blk[:, lo:hi]
-        counts_s = (e_s < INF).sum(axis=1).astype(jnp.int32)
         order_s = jnp.argsort(e_s, axis=1, stable=True)
         chunk_list_s = (order_s + lo).astype(jnp.int32).T
         entry_list_s = jnp.take_along_axis(e_s, order_s, axis=1).T
@@ -1445,6 +1449,15 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
             lane_max = (jnp.minimum(t_max_now, t_best) if not any_hit
                         else jnp.where(idx_best >= 0, 0.0, t_max_now))
             rays = rays.at[7, :r].set(lane_max)
+            lm = lane_max
+            if lane_pad:
+                lm = jnp.concatenate(
+                    [lm, jnp.zeros((lane_pad,), jnp.float32)])
+            blk_bound = lm.reshape(nb, BR).max(axis=1)     # [nb]
+            counts_s = (entry_list_s.T < blk_bound[:, None]).sum(
+                axis=1).astype(jnp.int32)
+        else:
+            counts_s = (e_s < INF).sum(axis=1).astype(jnp.int32)
         out = _run_kernel(rays, tri_planes, counts_s, chunk_list_s,
                           entry_list_s, r, rp, nb, num_chunks, tp, any_hit,
                           mode=mode, coef48=coef48, coef48_grp=coef48_grp)
