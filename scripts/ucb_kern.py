@@ -24,8 +24,18 @@ def main():
     rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
 
     base = None
-    for mode in ("vpu", "mxu3", "mxuf1", "mxuf2", "mxuf4", "mxuf8",
-                 "mxuv1", "mxuv2", "mxuv4", "mxuv8", "mxuw2", "mxuw4"):
+    # VMEM hazard gate: a [BR, 4*CT*grp] f32 window product past ~8.4 MB
+    # FAULTS the kernel and can wedge the axon tunnel for hours
+    # (PERF.md r3 / _mxus_grp). Only sweep group widths that fit.
+    grp_cap = max(1, (512 * 8) // pallas_trace.BR)
+    modes = ["vpu", "mxu3"]
+    for g in (1, 2, 4, 8):
+        if g <= grp_cap:
+            modes.append(f"mxuf{g}")
+        if g <= max(1, grp_cap // 2):     # mxuv adds 3x [BR, CT] scratch
+            modes.append(f"mxuv{g}")
+    modes += ["mxuw2", "mxuw4"]
+    for mode in modes:
         fn = jax.jit(lambda o, d, m=mode: pallas_trace.trace_brute_pallas(
             scene.tri_planes, scene.chunk_aabb, o, d, 1e-3, 100.0,
             kernel=m)["t"])
