@@ -260,6 +260,34 @@ def config(n: int):
     print(json.dumps(out))
 
 
+def _backend_watchdog(timeout_s: float = 600.0):
+    """Emit ONE honest JSON line and exit if backend INIT hangs.
+
+    The axon tunnel's claim leg can hang indefinitely when the terminal
+    is down (observed r3: >3 h); jax.devices() then never returns and
+    the driver's bench run records nothing. Init on a healthy tunnel
+    takes seconds; compiles are NOT under this timer (the watchdog is
+    disarmed as soon as a device materializes)."""
+    import os as _os
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "cornell_restir_512x512_mrays_per_s_per_chip",
+                "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+                "error": f"axon backend init exceeded {timeout_s:.0f}s "
+                         "(tunnel down) - no measurement possible",
+            }), flush=True)
+            _os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    jax.devices()
+    done.set()
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=0,
@@ -268,6 +296,7 @@ if __name__ == "__main__":
     ap.add_argument("--tiles", type=int, default=0,
                     help="run the headline sharded over N devices")
     args = ap.parse_args()
+    _backend_watchdog()
     if args.tiles:
         headline_tiled(args.tiles)
     elif args.config:
