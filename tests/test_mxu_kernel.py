@@ -281,6 +281,39 @@ def test_segmented_worklists(monkeypatch):
     assert not (at[~np.asarray(active)] >= 0).any()
 
 
+def test_mxuv_lowest_id_tie_break():
+    """mxuv resolves EXACT-t ties to the lowest global triangle id
+    (deterministic, block-layout-independent) - pinned with duplicate
+    triangles placed in different chunks."""
+    rng = np.random.default_rng(41)
+    t = 3 * pallas_trace.CT
+    v0 = rng.standard_normal((t, 3)).astype(np.float32) * 4
+    v0[:, 2] += 10.0                       # keep away from the dup quad
+    e1 = rng.standard_normal((t, 3)).astype(np.float32)
+    e2 = rng.standard_normal((t, 3)).astype(np.float32)
+    # identical triangle at ids 7 and 2*CT+9 (different chunks), square
+    # in the z=1 plane covering the origin rays
+    for dup in (7, 2 * pallas_trace.CT + 9):
+        v0[dup] = [-5.0, -5.0, 1.0]
+        e1[dup] = [10.0, 0.0, 0.0]
+        e2[dup] = [0.0, 10.0, 0.0]
+    planes, aabb, _ = pallas_trace.pack_triangles(v0, e1, e2)
+    planes, aabb = jnp.asarray(planes), jnp.asarray(aabb)
+
+    r = 256
+    ro = np.zeros((r, 3), np.float32)
+    ro[:, 0:2] = rng.uniform(-2, 2, (r, 2))
+    rd = np.zeros((r, 3), np.float32)
+    rd[:, 2] = 1.0
+    out = pallas_trace.trace_brute_pallas(
+        jnp.asarray(planes), aabb, jnp.asarray(ro), jnp.asarray(rd),
+        1e-3, 50.0, kernel="mxuv2")
+    tri = np.asarray(out["tri"])
+    hit_dup = np.isin(tri, [7, 2 * pallas_trace.CT + 9])
+    assert hit_dup.any()
+    assert (tri[hit_dup] == 7).all()       # lowest id wins the tie
+
+
 def test_mxu_coef_identity():
     """phi(ray) @ coef == direct MT terms (f64 check of the derivation)."""
     rng = np.random.default_rng(4)
