@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-3 on-chip measurement ladder. Ordered SAFEST FIRST - a kernel
+# fault can wedge the axon tunnel for hours (PERF.md r3 hazard note), so
+# known-good defaults run before new kernels, and the previously-faulting
+# dense-knot config runs last. One process on the chip at a time; every
+# step is timeout-bounded and logged to /tmp/r3m/.
+set -u
+cd /root/repo
+mkdir -p /tmp/r3m
+run() {
+  local name="$1"; shift
+  echo "=== $name: $* ==="
+  timeout 2400 env "$@" >"/tmp/r3m/${name}.log" 2>&1
+  echo "=== $name rc=$? ==="
+}
+run 00_headline_default       python bench.py
+run 01_kern_cornell           python scripts/ucb_kern.py
+run 02_kern_bunny             python scripts/ucb_kern.py --bunny
+run 03_headline_mxuv          TPU_RT_KERNEL=mxuv2 python bench.py
+run 04_headline_ohg           TPU_RT_OHG=1 python bench.py
+run 05_headline_combo         TPU_RT_KERNEL=mxuv2 TPU_RT_OHG=1 python bench.py
+run 06_mxus_default           python scripts/ucb_mxus.py
+run 07_mxus_matrix            TPU_RT_MXUS_V=1 python scripts/ucb_mxus.py
+echo "LADDER DONE $(date)" | tee /tmp/r3m/DONE
