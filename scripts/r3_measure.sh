@@ -24,4 +24,5 @@ run 07_mxus_matrix            TPU_RT_MXUS_V=1 python scripts/ucb_mxus.py
 run 08_headline_tapbatch      TPU_RT_TAP_BATCH=1 python bench.py
 run 09_headline_br2048        TPU_RT_BR=2048 python bench.py
 run 10_headline_br2048_mxuv   TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv2 python bench.py
+run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py
 echo "LADDER DONE $(date)" | tee /tmp/r3m/DONE
