@@ -1406,7 +1406,11 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     nb_pad = ((nb + 127) // 128) * 128
     cap_units = int(os.environ.get("TPU_RT_SEG_CAP", "0")) \
         or (512 * 1024) // (nb_pad * 8)
-    if num_units_all <= cap_units or dest is not None:
+    # each segment is a full grid launch (nb programs x ~10 us floor), so
+    # fragmenting into many segments loses to ONE unculled sweep; past 8
+    # segments (huge frame x huge scene) take the legacy no-worklist path
+    if (num_units_all <= cap_units or dest is not None
+            or num_units_all > 8 * max(cap_units, 1)):
         # single sweep (dest-permuted streams can't chain t_max through
         # segments - they keep the legacy no-worklist fallback if huge)
         counts = (e_blk < INF).sum(axis=1).astype(jnp.int32)   # [nb]
