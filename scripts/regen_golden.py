@@ -26,23 +26,34 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def main():
-    from tpu_raytracer.models import scenes
+def _render(scene, w, h, frames):
     from tpu_raytracer.render import camera as camera_mod
     from tpu_raytracer.render import pipeline, renderer
 
-    w = h = 64
-    scene = scenes.create_cornell_box()
     cam = camera_mod.CameraController()
     state = pipeline.init_state(w, h)
-    for frame in range(8):
+    for frame in range(frames):
         uniform = renderer.camera_to_device(
-            cam.uniform(1.0, frame, scene.num_lights))
+            cam.uniform(w / h, frame, scene.num_lights))
         ldr, hdr, state, aux = pipeline.render_frame(
             scene, uniform, jnp.uint32(frame), state, w, h)
-    out = np.asarray(ldr, np.float16)
+    return np.asarray(ldr, np.float16)
+
+
+def main():
+    from tpu_raytracer.models import scenes
+
+    out = _render(scenes.create_cornell_box(), 64, 64, 8)
     np.save("tests/golden/cornell_64_f8_ldr.npy", out)
     print("wrote tests/golden/cornell_64_f8_ldr.npy",
+          out.shape, out.dtype, float(out.mean()))
+
+    # second golden: the 100-light ReSTIR stress scene (scenes.rs hsv
+    # grid) - pins many-light NEE sampling + reservoir paths Cornell
+    # doesn't reach
+    out = _render(scenes.create_restir_scene(), 48, 48, 4)
+    np.save("tests/golden/restir_48_f4_ldr.npy", out)
+    print("wrote tests/golden/restir_48_f4_ldr.npy",
           out.shape, out.dtype, float(out.mean()))
 
 

@@ -35,3 +35,26 @@ def test_cornell_golden_psnr():
     # identical math -> near-lossless (f16 golden quantization ~ 70 dB);
     # anything below 45 dB means the renderer's output actually changed
     assert p > 45.0, f"PSNR vs golden = {p:.1f} dB"
+
+
+GOLDEN_RESTIR = os.path.join(os.path.dirname(__file__), "golden",
+                             "restir_48_f4_ldr.npy")
+
+
+def test_restir_stress_golden_psnr():
+    """100-light hsv-grid stress scene (scenes.rs): pins many-light NEE
+    sampling, light-pick RNG order and reservoir merges that the Cornell
+    golden never exercises."""
+    w = h = 48
+    scene = scenes.create_restir_scene()
+    cam = camera_mod.CameraController()
+    state = pipeline.init_state(w, h)
+    for frame in range(4):
+        uniform = renderer.camera_to_device(
+            cam.uniform(1.0, frame, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(frame), state, w, h)
+    got = np.asarray(ldr, np.float32)
+    want = np.load(GOLDEN_RESTIR).astype(np.float32)
+    p = psnr(got, want)
+    assert p > 45.0, f"PSNR vs restir golden = {p:.1f} dB"
