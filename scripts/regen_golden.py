@@ -8,7 +8,10 @@ from CPU on this chaotic workload, PERF.md):
 Only run this after an INTENTIONAL change to the radiance math or RNG
 consumption order (CLAUDE.md invariants). Record the reason in the commit
 message. History of deliberate regenerations:
-  - (none since r2: the r3 tap-batching experiment regenerated it while
+  - r3: refreshed for the V3-of-planes post pass (float-op reorder,
+    49.6 dB vs the r2 golden - above the gate but eating margin) and to
+    add the second golden (restir stress scene). No RNG-order change.
+  - (r3 interim: the tap-batching experiment regenerated it while
     batched taps were the default, then reverted to the r2 golden when
     measurement put the sequential reference-exact order back as the
     default.)
