@@ -1334,38 +1334,6 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
             "tri": idx[0, :r],
         }
 
-    # --- block-level chunk culling (cheap XLA pre-pass) ---
-    # per-ray slab tests against every chunk AABB, OR-reduced per block,
-    # compacted to a per-block chunk worklist (hits sorted first).
-    # LAYOUT: everything is [NC, nb, BR] - the MINOR dim is the full
-    # BR-lane ray axis. The earlier [nb, BR, NC, 3] formulation had
-    # minor dims 3 and NC that XLA:TPU pads to 128 lanes (~0.5 GB of
-    # tile-padding traffic per 1M-ray call -> ~7.5 ms per traversal
-    # call, the dominant per-depth glue of the bounce loops; PERF.md r3).
-    nb = rp // BR
-    eps = 1e-12
-    tmin_nb = rays[6].reshape(1, nb, BR)
-    tmax_nb = rays[7].reshape(1, nb, BR)
-    nc_u = chunk_aabb.shape[0]
-    t_lo = jnp.broadcast_to(tmin_nb, (nc_u, nb, BR))
-    t_hi = jnp.broadcast_to(tmax_nb, (nc_u, nb, BR))
-    for k in range(3):
-        d_k = rays[3 + k]
-        inv_k = (1.0 / jnp.where(jnp.abs(d_k) < eps,
-                                 jnp.where(d_k < 0, -eps, eps), d_k)
-                 ).reshape(1, nb, BR)
-        o_k = rays[k].reshape(1, nb, BR)
-        lo_k = (chunk_aabb[:, k][:, None, None] - o_k) * inv_k
-        hi_k = (chunk_aabb[:, k + 3][:, None, None] - o_k) * inv_k
-        t_lo = jnp.maximum(t_lo, jnp.minimum(lo_k, hi_k))
-        t_hi = jnp.minimum(t_hi, jnp.maximum(lo_k, hi_k))
-    ray_hit = (t_lo <= t_hi) & (tmax_nb > 0.0)             # [NC, nb, BR]
-    # conservative per-block entry distance: min over live rays (INF =
-    # no ray touches the chunk). Doubles as the hit mask AND the
-    # front-to-back sort key for the worklist (BVH-style ordered
-    # traversal economics without per-ray walks).
-    e_blk = jnp.where(ray_hit, t_lo, INF).min(axis=2).T    # [nb, NC]
-
     mode = kernel
     if mode in ("mxuf2", "mxuv2") and num_chunks > 48:
         # dense scenes want wide dots (fewer loop steps; bunny: 110 ms
@@ -1394,7 +1362,59 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
             and tp > MXU_MAX_TP:
         mode = "vpu"
     grp = _mode_grp(mode)
-    if grp > 1:
+
+    # --- block-level chunk culling (cheap XLA pre-pass) ---
+    # per-ray slab tests against every chunk AABB, OR-reduced per block,
+    # compacted to a per-block chunk worklist (hits sorted first).
+    # LAYOUT: everything is [NC, nb, BR] - the MINOR dim is the full
+    # BR-lane ray axis. The earlier [nb, BR, NC, 3] formulation had
+    # minor dims 3 and NC that XLA:TPU pads to 128 lanes (~0.5 GB of
+    # tile-padding traffic per 1M-ray call -> ~7.5 ms per traversal
+    # call, the dominant per-depth glue of the bounce loops; PERF.md r3).
+    # TPU_RT_GRP_CULL=1: slab-test GROUP union AABBs directly (grp x less
+    # prepass work; slightly looser worklists - BVH-DFS order keeps group
+    # unions tight). Worklists cull at group granularity either way.
+    nb = rp // BR
+    eps = 1e-12
+    aabb_src = chunk_aabb
+    grp_cull = (grp > 1
+                and os.environ.get("TPU_RT_GRP_CULL", "0") == "1")
+    if grp_cull:
+        ng = (num_chunks + grp - 1) // grp
+        pad = ng * grp - aabb_src.shape[0]
+        if pad:
+            empty = jnp.concatenate(
+                [jnp.full((pad, 3), INF, jnp.float32),
+                 jnp.full((pad, 3), -INF, jnp.float32),
+                 jnp.zeros((pad, 2), jnp.float32)], axis=1)
+            aabb_src = jnp.concatenate([aabb_src, empty], axis=0)
+        ca = aabb_src.reshape(ng, grp, 8)
+        aabb_src = jnp.concatenate(
+            [ca[:, :, 0:3].min(axis=1), ca[:, :, 3:6].max(axis=1),
+             jnp.zeros((ng, 2), jnp.float32)], axis=1)     # [NG, 8]
+    tmin_nb = rays[6].reshape(1, nb, BR)
+    tmax_nb = rays[7].reshape(1, nb, BR)
+    nc_u = aabb_src.shape[0]
+    t_lo = jnp.broadcast_to(tmin_nb, (nc_u, nb, BR))
+    t_hi = jnp.broadcast_to(tmax_nb, (nc_u, nb, BR))
+    for k in range(3):
+        d_k = rays[3 + k]
+        inv_k = (1.0 / jnp.where(jnp.abs(d_k) < eps,
+                                 jnp.where(d_k < 0, -eps, eps), d_k)
+                 ).reshape(1, nb, BR)
+        o_k = rays[k].reshape(1, nb, BR)
+        lo_k = (aabb_src[:, k][:, None, None] - o_k) * inv_k
+        hi_k = (aabb_src[:, k + 3][:, None, None] - o_k) * inv_k
+        t_lo = jnp.maximum(t_lo, jnp.minimum(lo_k, hi_k))
+        t_hi = jnp.minimum(t_hi, jnp.maximum(lo_k, hi_k))
+    ray_hit = (t_lo <= t_hi) & (tmax_nb > 0.0)             # [NC|NG, nb, BR]
+    # conservative per-block entry distance: min over live rays (INF =
+    # no ray touches the chunk). Doubles as the hit mask AND the
+    # front-to-back sort key for the worklist (BVH-style ordered
+    # traversal economics without per-ray walks).
+    e_blk = jnp.where(ray_hit, t_lo, INF).min(axis=2).T    # [nb, NC|NG]
+
+    if grp > 1 and not grp_cull:
         # cull at group-of-chunks granularity (one worklist entry per dot)
         ng = (num_chunks + grp - 1) // grp
         pad = ng * grp - num_chunks
