@@ -39,7 +39,10 @@ def parse_args(argv=None) -> RenderConfig:
     ap = argparse.ArgumentParser(description="tpu_raytracer")
     ap.add_argument("--scale", type=str, default=None,
                     help="WxH render resolution (reference flag)")
-    ap.add_argument("--scene", type=str, default=cfg.scene)
+    ap.add_argument("--scene", type=str, default=cfg.scene,
+                    help="catalog name (cornell, cornell_diffuse, restir, "
+                         "bunny, knot, gallery, avocado, helmet, vrm, "
+                         "truffle) or a .gltf/.glb path")
     ap.add_argument("--target-spp", type=int, default=cfg.target_spp)
     ap.add_argument("--denoise", action="store_true")
     ap.add_argument("--denoise-iterations", type=int,
