@@ -37,6 +37,36 @@ def test_cornell_golden_psnr():
     assert p > 45.0, f"PSNR vs golden = {p:.1f} dB"
 
 
+def test_segmented_sweep_full_pipeline(monkeypatch):
+    """Forcing the segmented t_max-chained worklists through the WHOLE
+    ReSTIR frame (path trace, NEE/occlusion, spatial taps, post) must
+    reproduce the golden render - integration coverage beyond the
+    trace-level equivalence tests."""
+    monkeypatch.setenv("TPU_RT_SEG_CAP", "2")
+    w = h = 64
+    scene = scenes.create_cornell_box()
+    cam = camera_mod.CameraController()
+    state = pipeline.init_state(w, h)
+    for frame in range(4):
+        uniform = renderer.camera_to_device(
+            cam.uniform(1.0, frame, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(frame), state, w, h)
+    got = np.asarray(ldr, np.float32)
+
+    # reference: identical run on the default (single-sweep) path
+    monkeypatch.delenv("TPU_RT_SEG_CAP")
+    state = pipeline.init_state(w, h)
+    for frame in range(4):
+        uniform = renderer.camera_to_device(
+            cam.uniform(1.0, frame, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(frame), state, w, h)
+    want = np.asarray(ldr, np.float32)
+    p = psnr(got, want)
+    assert p > 45.0, f"segmented vs single sweep PSNR = {p:.1f} dB"
+
+
 GOLDEN_RESTIR = os.path.join(os.path.dirname(__file__), "golden",
                              "restir_48_f4_ldr.npy")
 
