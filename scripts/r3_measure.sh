@@ -27,4 +27,5 @@ run 10_headline_br2048_mxuv   TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv2 python bench.py
 run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py
 run 12_mxus_grpcull           TPU_RT_GRP_CULL=1 python scripts/ucb_mxus.py
 run 13_config3_default        python bench.py --config 3
+run 14_profile_default        python scripts/ucb_profile.py --frames 3
 echo "LADDER DONE $(date)" | tee /tmp/r3m/DONE
