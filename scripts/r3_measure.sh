@@ -28,4 +28,11 @@ run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py
 run 12_mxus_grpcull           TPU_RT_GRP_CULL=1 python scripts/ucb_mxus.py
 run 13_config3_default        python bench.py --config 3
 run 14_profile_default        python scripts/ucb_profile.py --frames 3
+{
+  echo "=== SUMMARY $(date) ==="
+  for f in /tmp/r3m/[0-9]*.log; do
+    echo "--- $(basename "$f")"
+    grep -h -E '"metric"|"config"|Mrays|ms  t_agree| ms,|t_agree' "$f" | tail -12
+  done
+} | tee /tmp/r3m/SUMMARY
 echo "LADDER DONE $(date)" | tee /tmp/r3m/DONE
