@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,48 @@ def _mxus_grp() -> int:
     BR=1024 that means grp=4, at 2048 grp=2 (a 16.8 MB product faults
     the kernel)."""
     return max(1, (512 * 8) // BR)
+
+
+_VMEM_CAP_WARNED: set = set()
+
+
+def _vmem_cap_mode(mode: str) -> str:
+    """Clamp a grouped mode's width to the VMEM fault envelope.
+
+    PERF.md r3: a 16.8 MB [BR, 4*CT*grp] f32 window product FAULTS the
+    kernel, and a fault can wedge the axon tunnel for HOURS; 8.4 MB
+    (BR=512, grp=8) is the validated ceiling, so the safe width is
+    `_mxus_grp()`. Kernels that carry 3x [BR, CT] f32 selection scratch
+    on top (mxuv; mxus under TPU_RT_MXUS_V=1) get HALF that width, and
+    mxuv past BR=2048 downgrades to the scratch-free fused kernel.
+    Explicitly-requested modes (TPU_RT_KERNEL / ucb scripts) pass through
+    here too - a mis-sized A/B request must degrade, never fault."""
+    base_cap = _mxus_grp()
+    if mode.startswith("mxuv"):
+        cap = base_cap // 2
+        if cap < 1:       # even grp=1's scratch overflows: drop the scratch
+            capped = f"mxuf{base_cap}"
+        else:
+            capped = mode if _mode_grp(mode) <= cap else f"mxuv{cap}"
+    elif mode.startswith(("mxuf", "mxuw", "any")):
+        pre = "any" if mode.startswith("any") else mode[:4]
+        capped = mode if _mode_grp(mode) <= base_cap else f"{pre}{base_cap}"
+    elif mode.startswith("mxus"):
+        cap = (max(1, base_cap // 2)
+               if os.environ.get("TPU_RT_MXUS_V", "0") == "1" else base_cap)
+        capped = mode if _mode_grp(mode) <= cap else f"mxus{cap}"
+    else:
+        return mode
+    if capped == mode:
+        return mode
+    if mode not in _VMEM_CAP_WARNED:
+        _VMEM_CAP_WARNED.add(mode)
+        print(f"tpu_raytracer: kernel mode {mode!r} exceeds the VMEM "
+              f"fault envelope at BR={BR}; clamped to {capped!r}",
+              file=sys.stderr)
+    return capped
+
+
 _MT_EPS = 1e-9
 
 # Intersector kernel variant:
@@ -210,7 +253,7 @@ def default_coef_grp(tp: int) -> int:
     if not (mode.startswith("mxuf") or mode.startswith("mxus")
             or mode.startswith("mxuv")):
         return 0
-    return _mode_grp(mode)
+    return _mode_grp(_vmem_cap_mode(mode))
 
 
 def _mxuw_mask(group: int = GROUP):
@@ -1285,7 +1328,7 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     if (kernel.startswith("mxuf") and dest is None
             and num_chunks <= 64 and tp <= MXUF_MAX_TP
             and os.environ.get("TPU_RT_INCULL", "0") != "0"):
-        grp = 2 if num_chunks <= 48 else 8
+        grp = min(2 if num_chunks <= 48 else 8, _mxus_grp())
         ng = (num_chunks + grp - 1) // grp
         pad = ng * grp - num_chunks
         ca = chunk_aabb
@@ -1361,6 +1404,7 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
             and not mode.startswith("mxuf") and not mode.startswith("mxus") \
             and tp > MXU_MAX_TP:
         mode = "vpu"
+    mode = _vmem_cap_mode(mode)
     grp = _mode_grp(mode)
 
     # --- block-level chunk culling (cheap XLA pre-pass) ---
@@ -1887,6 +1931,12 @@ def trace_instanced_pallas(obj_planes, obj_gaabb, inst_affine_inv,
                            grp: int = INST_GRP, coef48=None):
     """Two-level instanced closest-hit / any-hit.
 
+    The [BR, 4*CT*grp] window product must stay inside the 8.4 MB VMEM
+    fault envelope (see _vmem_cap_mode); grp is baked in at pack time
+    (pack_triangles_instanced), so over-wide BR fails loudly here
+    instead of faulting the chip (a fault can wedge the axon tunnel
+    for hours, PERF.md r3).
+
     Args:
       obj_planes:      [4, 3, TpO] object-space planes (shared per mesh).
       obj_gaabb:       [8, NGO] object-space group AABBs (transposed).
@@ -1897,6 +1947,11 @@ def trace_instanced_pallas(obj_planes, obj_gaabb, inst_affine_inv,
                        refit updates these).
     Returns dict(t, tri (OBJECT triangle id), inst).
     """
+    if BR * 4 * CT * grp * 4 > 512 * 8 * 4 * CT * 4:
+        raise ValueError(
+            f"instanced sweep window [BR={BR}, {4 * CT * grp}] exceeds the"
+            f" 8.4 MB VMEM fault envelope; lower TPU_RT_BR (<= "
+            f"{512 * 8 // grp}) - grp={grp} is fixed at pack time")
     r = ray_o.shape[0]
     rp = max(((r + BR - 1) // BR) * BR, BR)
     rays = _rays_padded(ray_o, ray_d, t_min, t_max, active, r, rp)
