@@ -3,15 +3,38 @@
 # fault can wedge the axon tunnel for hours (PERF.md r3 hazard note), so
 # known-good defaults run before new kernels, and the previously-faulting
 # dense-knot config runs last. One process on the chip at a time; every
-# step is timeout-bounded and logged to /tmp/r3m/.
+# step is timeout-bounded and logged to /tmp/r3m/. After every step a
+# trivial-dispatch health probe runs: if the tunnel is wedged, the ladder
+# ABORTS (writes /tmp/r3m/ABORTED) instead of burning 40 min of timeout
+# per remaining step against a dead chip.
 set -u
 cd /root/repo
 mkdir -p /tmp/r3m
+health() {
+  timeout 300 python -c "
+import jax, jax.numpy as jnp
+print(jnp.sum(jnp.arange(8.0)).block_until_ready())" \
+    >>/tmp/r3m/health.log 2>&1
+}
 run() {
   local name="$1"; shift
   echo "=== $name: $* ==="
   timeout 2400 env "$@" >"/tmp/r3m/${name}.log" 2>&1
   echo "=== $name rc=$? ==="
+  if ! health; then
+    echo "TUNNEL UNHEALTHY after $name $(date)" | tee /tmp/r3m/ABORTED
+    summary
+    exit 1
+  fi
+}
+summary() {
+  {
+    echo "=== SUMMARY $(date) ==="
+    for f in /tmp/r3m/[0-9]*.log; do
+      echo "--- $(basename "$f")"
+      grep -h -E '"metric"|"config"|Mrays|ms  t_agree| ms,|t_agree' "$f" | tail -12
+    done
+  } | tee /tmp/r3m/SUMMARY
 }
 run 00_headline_default       python bench.py
 run 01_kern_cornell           python scripts/ucb_kern.py
@@ -28,11 +51,14 @@ run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py
 run 12_mxus_grpcull           TPU_RT_GRP_CULL=1 python scripts/ucb_mxus.py
 run 13_config3_default        python bench.py --config 3
 run 14_profile_default        python scripts/ucb_profile.py --frames 3
-{
-  echo "=== SUMMARY $(date) ==="
-  for f in /tmp/r3m/[0-9]*.log; do
-    echo "--- $(basename "$f")"
-    grep -h -E '"metric"|"config"|Mrays|ms  t_agree| ms,|t_agree' "$f" | tail -12
-  done
-} | tee /tmp/r3m/SUMMARY
+# BASELINE configs with committed defaults (gate flips re-run by hand
+# from the A/B results above). Config 6 is DEAD LAST: its dense-knot
+# streamed sweep is what faulted pre-fix - if it wedges the tunnel,
+# everything above is already recorded.
+run 15_config1                python bench.py --config 1
+run 16_config2                python bench.py --config 2
+run 17_config4                python bench.py --config 4
+run 18_config5                python bench.py --config 5
+run 19_config6_LAST           python bench.py --config 6
+summary
 echo "LADDER DONE $(date)" | tee /tmp/r3m/DONE
