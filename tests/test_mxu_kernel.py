@@ -80,12 +80,12 @@ def test_anyhit_matches_closest_occlusion():
         assert not got_hit[~np.asarray(active)].any()
 
 
-def test_early_out_coherent_rays(monkeypatch):
+def test_early_out_coherent_rays(trace_env):
     """Front-to-back ordered worklists + early termination must be
     RESULT-INVARIANT: coherent primary-style rays (where whole blocks
     terminate after the nearest chunks) agree with the exact vpu sweep.
     Forces the early-out kernel path (normally dense-scene-only)."""
-    monkeypatch.setenv("TPU_RT_EARLY_MIN", "1")
+    trace_env.setenv("TPU_RT_EARLY_MIN", "1")
     rng = np.random.default_rng(11)
     # layered scene: several z-slabs of triangles so front-to-back order
     # actually skips the far layers
@@ -163,11 +163,11 @@ def test_streamed_kernel_beyond_vmem():
     assert ((np.asarray(any_out["tri"]) >= 0) == (ot >= 0)).mean() > 0.999
 
 
-def test_streamed_matrix_best(monkeypatch):
+def test_streamed_matrix_best(trace_env):
     """TPU_RT_MXUS_V=1 swaps the streamed closest-hit's argmin/division
     selection for the mxuv running [BR, CT] best; results must agree
     with the exact sweep in both loop variants."""
-    monkeypatch.setenv("TPU_RT_MXUS_V", "1")
+    trace_env.setenv("TPU_RT_MXUS_V", "1")
     rng = np.random.default_rng(21)
     t = pallas_trace.MXUF_MAX_TP + pallas_trace.CT
     v0 = rng.standard_normal((t, 3)).astype(np.float32) * 3
@@ -185,7 +185,7 @@ def test_streamed_matrix_best(monkeypatch):
                                           kernel="vpu")
     rt = np.asarray(ref["tri"])
     for early_min in ("1", "100000"):        # early path / carry path
-        monkeypatch.setenv("TPU_RT_EARLY_MIN", early_min)
+        trace_env.setenv("TPU_RT_EARLY_MIN", early_min)
         out = pallas_trace.trace_brute_pallas(
             planes, aabb, ro, rd, 1e-3, 50.0, kernel="mxuf2")  # -> mxus
         ot = np.asarray(out["tri"])
@@ -194,11 +194,11 @@ def test_streamed_matrix_best(monkeypatch):
         assert (rt[both] == ot[both]).mean() > 0.99, early_min
 
 
-def test_streamed_early_out(monkeypatch):
+def test_streamed_early_out(trace_env):
     """mxus front-to-back termination (+ DMA drain) is result-invariant:
     coherent rays against a layered beyond-VMEM scene agree with the
     exact sweep, for closest-hit AND any-hit."""
-    monkeypatch.setenv("TPU_RT_EARLY_MIN", "1")
+    trace_env.setenv("TPU_RT_EARLY_MIN", "1")
     rng = np.random.default_rng(23)
     t_total = pallas_trace.MXUF_MAX_TP + pallas_trace.CT
     per = t_total // 4
@@ -244,13 +244,13 @@ def test_streamed_early_out(monkeypatch):
     assert not (at[~np.asarray(active)] >= 0).any()
 
 
-def test_segmented_worklists(monkeypatch):
+def test_segmented_worklists(trace_env):
     """Past the SMEM worklist budget the sweep splits into t_max-chained
     unit-range segments (TPU_RT_SEG_CAP forces a tiny cap here); results
     must agree with the exact single sweep for closest-hit AND any-hit,
     including windowed/dead lanes."""
-    monkeypatch.setenv("TPU_RT_SEG_CAP", "7")
-    monkeypatch.setenv("TPU_RT_EARLY_MIN", "4")
+    trace_env.setenv("TPU_RT_SEG_CAP", "7")
+    trace_env.setenv("TPU_RT_EARLY_MIN", "4")
     rng = np.random.default_rng(31)
     planes, aabb = _scene(rng, t=4000)      # 32 chunks -> 16 grp2 units
     r = 900
@@ -282,9 +282,11 @@ def test_segmented_worklists(monkeypatch):
 
 
 def test_mxuv_lowest_id_tie_break():
-    """mxuv resolves EXACT-t ties to the lowest global triangle id
-    (deterministic, block-layout-independent) - pinned with duplicate
-    triangles placed in different chunks."""
+    """mxuv resolves EXACT-t ties between DIFFERENT columns of the
+    running best to the lowest global triangle id (pinned with duplicate
+    triangles in different chunks AND different slots-mod-CT). Same-column
+    ties - ids congruent mod CT - keep the first-swept candidate, i.e.
+    resolve by worklist order like mxuf (see the kernel docstring)."""
     rng = np.random.default_rng(41)
     t = 3 * pallas_trace.CT
     v0 = rng.standard_normal((t, 3)).astype(np.float32) * 4
@@ -339,3 +341,41 @@ def test_mxu_coef_identity():
     t_n = (e2 * qvec).sum(1)
     for q, ref in ((0, det), (1, u_n), (2, v_n), (3, t_n)):
         np.testing.assert_allclose(got[q], ref, rtol=2e-4, atol=2e-4)
+
+
+def test_no_worklist_matches_default(trace_env):
+    """TPU_RT_NO_WORKLIST=1 skips the slab/sort prepass and sweeps every
+    unit in layout order; results must agree with the culled default up
+    to exact-t cross-chunk ties, for closest-hit AND any-hit, including
+    masked lanes and per-lane t_max windows."""
+    rng = np.random.default_rng(47)
+    planes, aabb = _scene(rng, t=1200)
+    r = 900
+    ro = jnp.asarray(rng.standard_normal((r, 3)).astype(np.float32) * 3)
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+    t_max = jnp.asarray(rng.uniform(0.5, 20.0, (r,)).astype(np.float32))
+    active = jnp.asarray(rng.uniform(size=r) > 0.25)
+
+    ref = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuf2", active=active)
+    ref_any = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuf2", active=active,
+        any_hit=True)
+
+    trace_env.setenv("TPU_RT_NO_WORKLIST", "1")
+    out = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuf2", active=active)
+    out_any = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuf2", active=active,
+        any_hit=True)
+
+    rt, ot = np.asarray(ref["tri"]), np.asarray(out["tri"])
+    assert ((rt >= 0) == (ot >= 0)).all()
+    np.testing.assert_allclose(np.asarray(ref["t"]), np.asarray(out["t"]),
+                               rtol=1e-6)
+    both = (rt >= 0) & (ot >= 0)
+    assert (rt[both] == ot[both]).mean() > 0.99        # exact-t ties only
+    assert ((np.asarray(ref_any["tri"]) >= 0)
+            == (np.asarray(out_any["tri"]) >= 0)).all()
+    assert not (ot[~np.asarray(active)] >= 0).any()

@@ -75,6 +75,13 @@ def _vmem_cap_mode(mode: str) -> str:
     mxuv past BR=2048 downgrades to the scratch-free fused kernel.
     Explicitly-requested modes (TPU_RT_KERNEL / ucb scripts) pass through
     here too - a mis-sized A/B request must degrade, never fault."""
+    if mode != "vpu" and BR > 512 * 8:
+        # grp=1 already overflows: no width left to clamp - refuse loudly
+        # (every MXU mode materializes at least a [BR, 4*CT] product)
+        raise ValueError(
+            f"TPU_RT_BR={BR}: even a grp=1 [BR, {4 * CT}] window product"
+            f" exceeds the 8.4 MB VMEM fault envelope; use TPU_RT_BR <= "
+            f"{512 * 8} (or TPU_RT_KERNEL=vpu)")
     base_cap = _mxus_grp()
     if mode.startswith("mxuv"):
         cap = base_cap // 2
@@ -435,11 +442,13 @@ def _mt_kernel_mxuv(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
     (ops/hit.py) as with every mxu* mode, so the pair representation
     only has to ORDER candidates correctly to f32 rounding.
 
-    Tie semantics: equal-t triangles resolve to the LOWEST GLOBAL
-    TRIANGLE ID - a deterministic, block-layout-independent tie-break
-    (mxuf resolved cross-chunk ties by sweep order, which depends on
-    which rays share a block; ops/compaction.py note). No RNG-order
-    consequences either way.
+    Tie semantics: exact-t ties between triangles in DIFFERENT columns
+    of the running best resolve to the lowest global id (the finalize
+    min-reduction). Ties in the SAME column (ids congruent mod CT,
+    i.e. the same slot of different chunks) keep the first-swept
+    candidate - the update compare is strict - so they resolve by
+    worklist order exactly like mxuf's cross-chunk ties
+    (ops/compaction.py note). No RNG-order consequences either way.
 
     Front-to-back early termination (entry-sorted worklists) keeps the
     mxuf economics: lane termination = exists column with
@@ -980,16 +989,17 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
                 nxt = entry_ref[jnp.minimum(i + 1, num_groups - 1), b]
                 term = jnp.max(t_best) < nxt
             if early:
-                # 1 = one prefetch outstanding (issued above for i+1),
-                # 2 = nothing to drain
-                done_ref[0] = jnp.where(
-                    term, jnp.where(i + 1 < n_live, 1, 2), 0
-                ).astype(jnp.int32)
+                # terminating: the prefetch issued above for unit i+1
+                # (slot (i+1)%2) is the only copy still in flight - drain
+                # THAT slot in THIS iteration. Waiting any other slot (or
+                # deferring the drain to a later iteration, which issues
+                # no copy of its own) blocks on a never-signalled DMA
+                # semaphore and hangs the kernel on real hardware.
+                @pl.when(term & (i + 1 < n_live))
+                def _():
+                    wait_copy((i + 1) % 2)
 
-        @pl.when(done_ref[0] == 1)
-        def _():
-            wait_copy(i % 2)            # drain the already-issued prefetch
-            done_ref[0] = jnp.int32(2)
+                done_ref[0] = jnp.where(term, 2, 0).astype(jnp.int32)
 
         return carry
 
@@ -1407,6 +1417,22 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
     mode = _vmem_cap_mode(mode)
     grp = _mode_grp(mode)
 
+    if os.environ.get("TPU_RT_NO_WORKLIST", "0") == "1" and dest is None:
+        # A/B knob: skip the whole XLA slab/sort prepass (~3 ms/call of
+        # glue on Cornell-class scenes whose incoherent bounce blocks
+        # touch most chunks anyway - the worklist culls little there
+        # while every traversal call pays for building it). The kernel
+        # sweeps every unit in layout order; results are identical up to
+        # exact-t cross-chunk ties (sweep order changes). Dense scenes
+        # want worklists - measure before flipping any default.
+        nb0 = rp // BR
+        n_units = (num_chunks + grp - 1) // grp if grp > 1 else num_chunks
+        return _run_kernel(
+            rays, tri_planes, jnp.zeros((nb0,), jnp.int32),
+            jnp.zeros((1, nb0), jnp.int32), jnp.zeros((1, nb0), jnp.float32),
+            r, rp, nb0, num_chunks, tp, any_hit, dest=None, mode=mode,
+            coef48=coef48, coef48_grp=coef48_grp, num_units=n_units)
+
     # --- block-level chunk culling (cheap XLA pre-pass) ---
     # per-ray slab tests against every chunk AABB, OR-reduced per block,
     # compacted to a per-block chunk worklist (hits sorted first).
@@ -1547,13 +1573,18 @@ def _coef48_or(coef48, coef48_grp, tri_planes, grp):
 
 def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
                 num_chunks, tp, any_hit, dest=None, mode=KERNEL_MODE,
-                coef48=None, coef48_grp: int = 0):
+                coef48=None, coef48_grp: int = 0, num_units=None):
     # SMEM pads the minor dim to 128; when worklists would blow the ~1MB
     # SMEM budget (huge frame x huge scene) the kernel sweeps all chunks
-    # and ignores the (dummy) list.
-    num_units = chunk_list.shape[0]       # chunks, or GROUP-chunk groups
-    nb_pad = ((nb + 127) // 128) * 128
-    use_worklist = num_units * nb_pad * 8 <= 512 * 1024
+    # and ignores the (dummy) list. An explicit num_units (with dummy
+    # lists) means the caller skipped the prepass deliberately
+    # (TPU_RT_NO_WORKLIST) - sweep all units in layout order.
+    if num_units is None:
+        num_units = chunk_list.shape[0]   # chunks, or GROUP-chunk groups
+        nb_pad = ((nb + 127) // 128) * 128
+        use_worklist = num_units * nb_pad * 8 <= 512 * 1024
+    else:
+        use_worklist = False
     if not use_worklist:
         chunk_list = jnp.zeros((1, nb), jnp.int32)
         entry_list = jnp.zeros((1, nb), jnp.float32)
@@ -1863,9 +1894,13 @@ def _mt_kernel_inst(mask_ref, rays_ref, affine_ref, span_ref, gaabb_ref,
                         hit_acc = jnp.max(acc_mat, axis=1)
                         idx_ref[0, :] = jnp.where(
                             hit_acc > 0.0, 1, -1).astype(jnp.int32)
+                        # inst must name an ACTUAL occluder: only lanes
+                        # newly occluded by THIS instance take i (prev
+                        # lanes keep their first occluder; acc_mat is
+                        # seeded with prev, so hit_acc alone can't tell)
                         inst_ref[0, :] = jnp.where(
-                            hit_acc > 0.0,
-                            jnp.maximum(inst_ref[0, :], i), inst_ref[0, :])
+                            (hit_acc > 0.0) & (prev == 0.0),
+                            i, inst_ref[0, :])
                     else:
                         t_best = t_ref[0, :]
                         idx_best = idx_ref[0, :]
