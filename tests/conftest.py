@@ -22,3 +22,27 @@ os.environ["XLA_FLAGS"] = flags.strip()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def trace_env(monkeypatch):
+    """setenv/delenv for TRACE-TIME env gates (TPU_RT_*).
+
+    These gates are read inside jit-traced bodies, so they key NOTHING
+    in the jit cache: flipping one without clearing the caches silently
+    reuses the previously-compiled executable and the test compares an
+    artifact against itself. Every change through this fixture clears
+    the compilation caches to force a retrace."""
+    class _TraceEnv:
+        def setenv(self, name, value):
+            monkeypatch.setenv(name, value)
+            jax.clear_caches()
+
+        def delenv(self, name, raising=True):
+            monkeypatch.delenv(name, raising=raising)
+            jax.clear_caches()
+
+    yield _TraceEnv()
+    jax.clear_caches()      # don't leak gated executables to later tests

@@ -37,32 +37,22 @@ def test_cornell_golden_psnr():
     assert p > 45.0, f"PSNR vs golden = {p:.1f} dB"
 
 
-def test_segmented_sweep_full_pipeline(monkeypatch):
+def test_segmented_sweep_full_pipeline(trace_env):
     """Forcing the segmented t_max-chained worklists through the WHOLE
     ReSTIR frame (path trace, NEE/occlusion, spatial taps, post) must
-    reproduce the golden render - integration coverage beyond the
-    trace-level equivalence tests."""
-    monkeypatch.setenv("TPU_RT_SEG_CAP", "2")
-    w = h = 64
-    scene = scenes.create_cornell_box()
-    cam = camera_mod.CameraController()
-    state = pipeline.init_state(w, h)
-    for frame in range(4):
-        uniform = renderer.camera_to_device(
-            cam.uniform(1.0, frame, scene.num_lights))
-        ldr, hdr, state, aux = pipeline.render_frame(
-            scene, uniform, jnp.uint32(frame), state, w, h)
-    got = np.asarray(ldr, np.float32)
+    reproduce the plain-sweep render - integration coverage beyond the
+    trace-level equivalence tests. Both runs force the Pallas dispatch
+    (interpret mode): the default CPU path is the XLA brute scan, which
+    never reads TPU_RT_SEG_CAP, and a flipped gate only takes effect
+    after a cache clear - the original form of this test silently
+    compared one cached default-path executable against itself."""
+    trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")
+    trace_env.setenv("TPU_RT_SEG_CAP", "2")
+    got = _render_frames(48, 48, 3)
 
-    # reference: identical run on the default (single-sweep) path
-    monkeypatch.delenv("TPU_RT_SEG_CAP")
-    state = pipeline.init_state(w, h)
-    for frame in range(4):
-        uniform = renderer.camera_to_device(
-            cam.uniform(1.0, frame, scene.num_lights))
-        ldr, hdr, state, aux = pipeline.render_frame(
-            scene, uniform, jnp.uint32(frame), state, w, h)
-    want = np.asarray(ldr, np.float32)
+    # reference: identical run on the plain single-sweep Pallas path
+    trace_env.delenv("TPU_RT_SEG_CAP")
+    want = _render_frames(48, 48, 3)
     p = psnr(got, want)
     assert p > 45.0, f"segmented vs single sweep PSNR = {p:.1f} dB"
 
@@ -88,3 +78,48 @@ def test_restir_stress_golden_psnr():
     want = np.load(GOLDEN_RESTIR).astype(np.float32)
     p = psnr(got, want)
     assert p > 45.0, f"PSNR vs restir golden = {p:.1f} dB"
+
+
+def _render_frames(w, h, frames):
+    scene = scenes.create_cornell_box()
+    cam = camera_mod.CameraController()
+    state = pipeline.init_state(w, h)
+    for frame in range(frames):
+        uniform = renderer.camera_to_device(
+            cam.uniform(1.0, frame, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(frame), state, w, h)
+    return np.asarray(ldr, np.float32)
+
+
+def test_ohg_full_pipeline(trace_env):
+    """TPU_RT_OHG=1 (VMEM Pallas one-hot winner-row fetch) through the
+    WHOLE ReSTIR frame must reproduce the default path - the fetch is an
+    exact 3-way bf16 split, so the image should be unchanged. Protects
+    the on-chip A/B (ladder steps 04/05) with end-to-end coverage."""
+    trace_env.setenv("TPU_RT_OHG", "1")
+    got = _render_frames(48, 48, 3)
+    trace_env.delenv("TPU_RT_OHG")
+    want = _render_frames(48, 48, 3)
+    p = psnr(got, want)
+    assert p > 45.0, f"OHG vs default PSNR = {p:.1f} dB"
+
+
+def test_mxuv_full_pipeline(trace_env, monkeypatch):
+    """The mxuv2 selection-free closest-hit through the WHOLE ReSTIR
+    frame must reproduce the default (mxuf2) path - winners agree up to
+    exact-t ties, so the image should match. Protects the on-chip A/B
+    (ladder steps 03/05). KERNEL_MODE is baked at import from
+    TPU_RT_KERNEL, so the test patches the module attribute (trace_api
+    reads it at trace time) plus a cache clear via trace_env."""
+    from tpu_raytracer.ops import pallas_trace
+
+    monkeypatch.setattr(pallas_trace, "KERNEL_MODE", "mxuv2")
+    trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")   # also clears caches
+    got = _render_frames(48, 48, 3)
+
+    monkeypatch.setattr(pallas_trace, "KERNEL_MODE", "mxuf2")
+    trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")   # re-clear post-patch
+    want = _render_frames(48, 48, 3)
+    p = psnr(got, want)
+    assert p > 45.0, f"mxuv2 vs mxuf2 PSNR = {p:.1f} dB"

@@ -10,10 +10,22 @@ so each jitted pipeline contains exactly one intersector.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from . import pallas_trace, traversal
+
+
+def _use_pallas() -> bool:
+    """Pallas dispatch gate. TPU always; TPU_RT_FORCE_PALLAS=1 routes the
+    CPU backend through the same kernels in interpret mode - the only way
+    a full-pipeline CPU test can exercise the actual trace kernels (the
+    default CPU path is the XLA brute scan, so an env-gated kernel change
+    is invisible to the golden pipeline without this)."""
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("TPU_RT_FORCE_PALLAS", "0") == "1")
 
 # Above this the swept path gives way to the BVH pointer walk. The
 # HBM-streamed kernel (pallas_trace "mxus") removes the VMEM residency
@@ -90,13 +102,13 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
     is_comp = isinstance(ray_o, tuple)
     if is_comp and not (not scene.instanced
                         and scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS
-                        and jax.default_backend() == "tpu"):
+                        and _use_pallas()):
         # non-component consumers (instanced kernel, CPU fallbacks, BVH
         # walk) take the packed form; one stack at the boundary
         ray_o = jnp.stack(list(ray_o), axis=-1)
         ray_d = jnp.stack(list(ray_d), axis=-1)
     if scene.instanced:
-        if jax.default_backend() == "tpu":
+        if _use_pallas():
             return pallas_trace.trace_instanced_pallas(
                 scene.tri_planes, scene.obj_group_aabb,
                 scene.inst_affine_inv, scene.inst_group_span,
@@ -108,7 +120,7 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
             scene.inst_affine_inv, ray_o, ray_d, t_min, t_max,
             any_hit=any_hit, active=active, grp=scene.inst_grp)
     if scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS:
-        if jax.default_backend() == "tpu":
+        if _use_pallas():
             return pallas_trace.trace_brute_pallas(
                 scene.tri_planes, scene.chunk_aabb, ray_o, ray_d, t_min,
                 t_max, any_hit=any_hit, active=active, reorder=reorder,
