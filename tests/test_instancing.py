@@ -190,11 +190,13 @@ def test_instanced_memory_is_per_mesh_not_per_instance():
 def test_instancing_auto_selects_for_dense_replication():
     """auto mode flips on exactly when flattening exceeds the brute cap
     while unique meshes stay VMEM-resident."""
+    from tpu_raytracer.ops.trace_api import BRUTE_FORCE_MAX_TRIS
+
     b = SceneBuilder()
     sph = b.add_mesh(create_sphere(4))
     nt = b.meshes[0].num_triangles
     mw = b.add_material(Material((0.7, 0.7, 0.7, 1.0)))
-    n_inst = 131072 // nt + 2                     # flattened > cap
+    n_inst = BRUTE_FORCE_MAX_TRIS // nt + 2       # flattened > cap
     rng = np.random.default_rng(1)
     for k in range(n_inst):
         b.add_instance(sph, mw,

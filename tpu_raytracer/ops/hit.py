@@ -29,8 +29,6 @@ from ..utils import vec3
 from ..utils.vec3 import V3
 from .gather import onehot_gather_cols, select_gather_cols
 
-SELECT_GATHER_MAX = 32
-
 # transient [M, R] f32 one-hot footprint allowed for the winner-row fetch
 # (2 GB; at 262k rays that admits tables up to 2048 rows)
 ONEHOT_BUDGET_BYTES = 1 << 31

@@ -40,6 +40,24 @@ MAX_W = 20.0          # restir_spatial.wgsl:1005
 RES_COLS = 12         # packed reservoir row width (pack_reservoirs)
 
 
+def _gb_head(comb_c):
+    """Decode the G-buffer head of a packed [GB_COLS + RES_COLS] column
+    list (BandView.read_cols output). Column offsets derive from the
+    gbuffer layout slices so pack_gb has a single owner - a reorder or
+    widening there cannot silently desync these neighbor reads (the
+    reservoir tail stays `unpack_reservoir_cols(comb_c[GB_COLS:])`)."""
+    from .gbuffer import GB_ALBEDO, GB_MAT, GB_OCT, GB_POS, GB_VALID
+
+    p, o, a = GB_POS.start, GB_OCT.start, GB_ALBEDO.start
+    return dict(
+        pos=V3(comb_c[p], comb_c[p + 1], comb_c[p + 2]),
+        norm=vec3.oct_decode(comb_c[o], comb_c[o + 1]),
+        albedo=V3(comb_c[a], comb_c[a + 1], comb_c[a + 2]),
+        mat=comb_c[GB_MAT].astype(jnp.int32),
+        valid=comb_c[GB_VALID] > 0.5,
+    )
+
+
 def make_ctx(width: int, height: int, y0=0, band_h=None,
              reorder: str = "none") -> dict:
     """`reorder` is the ray-stream permutation mode (ops/compaction.py)
@@ -238,11 +256,9 @@ def restir_temporal(scene, gb, prev_view, camera,
     from .gbuffer import GB_COLS
 
     comb_c, cov = prev_view.read_cols(prev_y, prev_x)
-    p_pos = V3(comb_c[0], comb_c[1], comb_c[2])            # GB_POS
-    p_norm = vec3.oct_decode(comb_c[3], comb_c[4])
-    p_albedo = V3(comb_c[7], comb_c[8], comb_c[9])         # GB_ALBEDO
-    p_mat = comb_c[12].astype(jnp.int32)
-    p_valid = comb_c[13] > 0.5
+    ph = _gb_head(comb_c)
+    p_pos, p_norm, p_albedo = ph["pos"], ph["norm"], ph["albedo"]
+    p_mat, p_valid = ph["mat"], ph["valid"]
     c_norm = vec3.oct_decode(gb["oct_normal"][:, 0], gb["oct_normal"][:, 1])
 
     mid = jnp.maximum(gb["mat_id"], 0)
@@ -413,19 +429,18 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         ny = gy + oy
 
         comb_c, cov = comb_view.read_cols(ny, nx)
-        n_valid = comb_c[13] > 0.5
+        nh = _gb_head(comb_c)
+        n_valid = nh["valid"]
         ok = it_active & cov & n_valid
-        n_pos = V3(comb_c[0], comb_c[1], comb_c[2])
-        n_norm = vec3.oct_decode(comb_c[3], comb_c[4])
+        n_pos = nh["pos"]
+        n_norm = nh["norm"]
         ok &= _is_valid_neighbor_spatial(
-            scene, pos, normal, mat_id, n_pos, n_norm,
-            comb_c[12].astype(jnp.int32), cam3)
+            scene, pos, normal, mat_id, n_pos, n_norm, nh["mat"], cam3)
 
         nbres = unpack_reservoir_cols(comb_c[GB_COLS:])
         ok &= nbres["p_hat"] > 0.0
         jac = _calculate_jacobian(pos, normal, albedo, nbres["s_path"],
-                                  n_pos, n_norm,
-                                  V3(comb_c[7], comb_c[8], comb_c[9]))
+                                  n_pos, n_norm, nh["albedo"])
         ok &= ~(is_specular & ((jac < 0.5) | (jac > 2.0)))
 
         dir_to_v1 = nbres["s_path"] - pos
@@ -496,11 +511,12 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         ny = gy + oy
 
         comb_c, cov = comb_view.read_cols(ny, nx)
-        n_valid = comb_c[13] > 0.5
-        n_pos = V3(comb_c[0], comb_c[1], comb_c[2])
-        n_norm = vec3.oct_decode(comb_c[3], comb_c[4])
-        n_mat = comb_c[12].astype(jnp.int32)
-        n_alb = V3(comb_c[7], comb_c[8], comb_c[9])
+        nh = _gb_head(comb_c)
+        n_valid = nh["valid"]
+        n_pos = nh["pos"]
+        n_norm = nh["norm"]
+        n_mat = nh["mat"]
+        n_alb = nh["albedo"]
 
         ok = it_active & cov & n_valid
         ok &= _is_valid_neighbor_spatial(

@@ -30,6 +30,20 @@ def _transpose_cols(rows):
     return [rt[k] for k in range(rows.shape[-1])]
 
 
+def _band_index(view, gy, gx):
+    """Shared band addressing: global (gy, gx) -> (flat idx, valid).
+
+    THE one owner of the coverage/clamping arithmetic for every view
+    type - a halo-policy change here changes packed-row and column reads
+    of both view classes together."""
+    local_row = gy - view.y0 + view.halo
+    in_cover = (local_row >= 0) & (local_row < view.band_h + 2 * view.halo)
+    in_image = (gy >= 0) & (gy < view.height) & (gx >= 0) & (gx < view.width)
+    idx = (jnp.clip(local_row, 0, view.band_h + 2 * view.halo - 1)
+           * view.width + jnp.clip(gx, 0, view.width - 1))
+    return idx, in_cover & in_image
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["data", "y0"],
          meta_fields=["width", "height", "band_h", "halo"])
@@ -53,12 +67,7 @@ class BandView:
         Returns (values, valid): valid is False where the read falls outside
         the view's coverage or outside the image.
         """
-        local_row = gy - self.y0 + self.halo
-        in_cover = (local_row >= 0) & (local_row < self.band_h + 2 * self.halo)
-        in_image = (gy >= 0) & (gy < self.height) & (gx >= 0) & (gx < self.width)
-        valid = in_cover & in_image
-        idx = jnp.clip(local_row, 0, self.band_h + 2 * self.halo - 1) * self.width \
-            + jnp.clip(gx, 0, self.width - 1)
+        idx, valid = _band_index(self, gy, gx)
         return self.data[idx], valid
 
     def read_cols(self, gy, gx):
@@ -104,23 +113,13 @@ class PairBandView:
     halo: int
 
     def read(self, gy, gx):
-        local_row = gy - self.y0 + self.halo
-        in_cover = (local_row >= 0) & (local_row < self.band_h + 2 * self.halo)
-        in_image = (gy >= 0) & (gy < self.height) & (gx >= 0) & (gx < self.width)
-        valid = in_cover & in_image
-        idx = jnp.clip(local_row, 0, self.band_h + 2 * self.halo - 1) * self.width \
-            + jnp.clip(gx, 0, self.width - 1)
+        idx, valid = _band_index(self, gy, gx)
         return jnp.concatenate([self.a[idx], self.b[idx]], axis=-1), valid
 
     def read_cols(self, gy, gx):
         """As BandView.read_cols; the two row gathers transpose separately,
         so the column lists concatenate for free (no [R, Ca+Cb] copy)."""
-        local_row = gy - self.y0 + self.halo
-        in_cover = (local_row >= 0) & (local_row < self.band_h + 2 * self.halo)
-        in_image = (gy >= 0) & (gy < self.height) & (gx >= 0) & (gx < self.width)
-        valid = in_cover & in_image
-        idx = jnp.clip(local_row, 0, self.band_h + 2 * self.halo - 1) * self.width \
-            + jnp.clip(gx, 0, self.width - 1)
+        idx, valid = _band_index(self, gy, gx)
         return _transpose_cols(self.a[idx]) + _transpose_cols(self.b[idx]), valid
 
 

@@ -286,11 +286,12 @@ class SceneBuilder:
         used = sorted({m for m, _, _ in self.instances})
         from ..ops.pallas_trace import CT as _CT
         from ..ops.pallas_trace import INST_GRP as _IG
+        from ..ops.trace_api import BRUTE_FORCE_MAX_TRIS
         unit = _IG * _CT
         tp_obj = sum(max(-(-self.meshes[m].num_triangles // unit), 1) * unit
                      for m in used)
         want_instanced = (instancing == "on") or (
-            instancing == "auto" and t_world > 131072
+            instancing == "auto" and t_world > BRUTE_FORCE_MAX_TRIS
             and tp_obj <= MXUF_MAX_TP)
         if want_instanced:
             if subdivide_max_diag is not None:
