@@ -140,3 +140,49 @@ def test_refit_identity_is_noop():
     rec1 = np.asarray(moved.bvh_rec)
     boxes = np.asarray(scene.bvh_skip) >= 0
     assert np.abs(rec1[boxes, 0:6] - rec0[boxes, 0:6]).max() < 1e-4
+
+
+def test_changed_cache_evicts_on_scene_gc_and_stays_bounded(monkeypatch):
+    """The changed-refit cache keys on id(tri_inst), which CPython can
+    recycle after the original scene is garbage-collected - the weakref
+    finalizer must evict the entry the moment its keying array dies, so
+    a recycled id can never serve another scene's host-resolved index
+    sets. The cache is also FIFO-bounded."""
+    import gc
+
+    refit._CHANGED_CACHE.clear()
+    scene = _two_box_scene([0.0, 0.0, 0.0])
+    tf = [np.asarray(t, np.float32) for t in
+          (translation([0, -1, 0]) @ scale(4.0),
+           translation([0.2, 0, 0]) @ rotation_y(0.3) @ scale(0.5))]
+    refit.update_instances(scene, np.stack(tf), changed=(1,))
+    assert len(refit._CHANGED_CACHE) == 1
+    key = next(iter(refit._CHANGED_CACHE))
+    assert key[0] == id(scene.tri_inst)
+
+    del scene
+    gc.collect()
+    assert key not in refit._CHANGED_CACHE, (
+        "entry must die with its keying array (id-reuse safety)")
+
+    # FIFO bound: distinct (scene, changed) keys never exceed the cap
+    monkeypatch.setattr(refit, "_CHANGED_CACHE_MAX", 2)
+    scene2 = _two_box_scene([0.3, 0.0, 0.0])
+    for changed in ((0,), (1,), (0, 1)):
+        refit.update_instances(scene2, np.stack(tf), changed=changed)
+    assert len(refit._CHANGED_CACHE) <= 2
+    assert (id(scene2.tri_inst), (0,)) not in refit._CHANGED_CACHE
+
+    # and two scenes alive at once resolve to their OWN index sets
+    scene3 = _two_box_scene([-0.4, 0.0, 0.0])
+    out2 = refit.update_instances(scene2, np.stack(tf), changed=(1,))
+    out3 = refit.update_instances(scene3, np.stack(tf), changed=(1,))
+    o, d = _rays()
+    t2 = trace_api.scene_trace(scene2, o, d, 1e-3, 100.0)["t"]
+    t2b = trace_api.scene_trace(out2, o, d, 1e-3, 100.0)["t"]
+    t3b = trace_api.scene_trace(out3, o, d, 1e-3, 100.0)["t"]
+    del t2
+    # both refits moved the SAME cube to the SAME world transform, so
+    # their traces agree with each other (cross-served index sets from a
+    # shared cache entry would corrupt one of them)
+    np.testing.assert_allclose(np.asarray(t2b), np.asarray(t3b), atol=1e-5)
