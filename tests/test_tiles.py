@@ -130,3 +130,19 @@ def test_tiled_matches_single_chip_with_motion():
     single = run(False)
     assert np.isnan(tiled).sum() == 0
     assert np.abs(tiled - single).max() < 1e-5
+
+
+def test_short_band_halo_clamp_warns():
+    """band_h < halo silently dropped spatial taps in r2 (VERDICT r2 weak
+    #8); the clamp must now WARN so a many-device/short-image run is
+    diagnosable."""
+    import warnings as _warnings
+
+    mesh = tiles.make_mesh()
+    n = mesh.devices.size
+    h = 8 * n                       # band_h = 8 < DEFAULT_HALO = 16
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        tiles.make_render_frame_tiled(mesh, 32, h)
+    assert any("halo" in str(w.message) for w in rec), (
+        [str(w.message) for w in rec])
