@@ -22,7 +22,12 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--out", default="output/restir.png")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin ignores "
+                         "JAX_PLATFORMS; use during TPU outages)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     t0 = time.time()
     scene = {
@@ -30,6 +35,8 @@ def main():
         "cornell_diffuse": scenes.create_cornell_box_diffuse,
         "restir": scenes.create_restir_scene,
         "bunny": scenes.create_bunny_scene,
+        "knot": scenes.create_dense_knot_scene,
+        "gallery": scenes.create_instancing_gallery_scene,
     }[args.scene]()
     print(f"scene: {time.time()-t0:.1f}s tris={scene.num_triangles} lights={scene.num_lights}")
 

@@ -18,11 +18,12 @@ materializes [R, 3] arrays (XLA:TPU pads their minor dim 42x - PERF.md r3).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import rng, vec3
 from ..utils.vec3 import V3
 
-PI = jnp.float32(jnp.pi)
+PI = np.float32(np.pi)
 
 
 def fresnel_schlick(f0, v_dot_h):

@@ -12,8 +12,9 @@ rays. Misses are reported as ``t = inf``.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-INF = jnp.float32(3.0e38)
+INF = np.float32(3.0e38)
 _MT_EPS = 1e-9
 
 

@@ -11,11 +11,12 @@ wavefront never materializes [R, 3] arrays.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import vec3
 from ..utils.vec3 import V3
 
-PI = jnp.float32(jnp.pi)
+PI = np.float32(np.pi)
 
 
 def sample_light(light_rows, r1, r2):

@@ -19,10 +19,11 @@ true - required to replicate the reference's data-dependent rand() calls
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_MUL = jnp.uint32(747796405)
-_INC = jnp.uint32(2891336453)
-_OUT = jnp.uint32(277803737)
+_MUL = np.uint32(747796405)
+_INC = np.uint32(2891336453)
+_OUT = np.uint32(277803737)
 _INV_U32_MAX = 1.0 / 4294967295.0
 
 
