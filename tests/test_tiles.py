@@ -146,3 +146,35 @@ def test_short_band_halo_clamp_warns():
         tiles.make_render_frame_tiled(mesh, 32, h)
     assert any("halo" in str(w.message) for w in rec), (
         [str(w.message) for w in rec])
+
+
+def test_read_cols_x2_matches_two_reads():
+    """BandView.read_cols_x2 (one slice-2 gather for the bilinear
+    x-pair) must agree with two independent read_cols calls on every
+    texel it reports valid - including gx = -1, gx = width-1, and rows
+    outside coverage."""
+    from tpu_raytracer.parallel import views as views_mod
+
+    rng = np.random.default_rng(7)
+    w, hgt = 13, 9
+    data = jnp.asarray(rng.standard_normal((hgt * w, 3)).astype(np.float32))
+    view = views_mod.trivial_view(data, w, hgt)
+
+    gy = jnp.asarray(np.concatenate([
+        rng.integers(-2, hgt + 2, 200), [0, hgt - 1, hgt - 1, 0]]
+    ).astype(np.int32))
+    gx = jnp.asarray(np.concatenate([
+        rng.integers(-2, w + 2, 200), [-1, w - 1, 0, w - 2]]
+    ).astype(np.int32))
+
+    c0, c1, v0, v1 = view.read_cols_x2(gy, gx)
+    r0, rv0 = view.read_cols(gy, gx)
+    r1, rv1 = view.read_cols(gy, gx + 1)
+
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(rv0))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(rv1))
+    for k in range(3):
+        a, b = np.asarray(c0[k]), np.asarray(r0[k])
+        np.testing.assert_array_equal(a[np.asarray(v0)], b[np.asarray(v0)])
+        a, b = np.asarray(c1[k]), np.asarray(r1[k])
+        np.testing.assert_array_equal(a[np.asarray(v1)], b[np.asarray(v1)])

@@ -228,17 +228,23 @@ def post_process(hdr_view, gb, gb_view, history_view, frame_count, ctx):
     fx = px - x0.astype(jnp.float32)
     fy = py - y0i.astype(jnp.float32)
 
-    def hist_tap(yy, xx):
-        c, ok = history_view.read_cols(yy.reshape(-1), xx.reshape(-1))
-        t = _tonemap_v3(V3(*c))
-        t = vec3.where(ok, t, 0.0)
-        return V3(t.x.reshape(band_h, width), t.y.reshape(band_h, width),
-                  t.z.reshape(band_h, width))
+    def hist_tap2(yy, xx):
+        # both x-neighbors of the bilinear footprint in ONE gather
+        # (adjacent flat rows; TPU gathers cost per visited ROW -
+        # BandView.read_cols_x2, PERF.md)
+        c0, c1, ok0, ok1 = history_view.read_cols_x2(
+            yy.reshape(-1), xx.reshape(-1))
 
-    c00 = hist_tap(y0i, x0)
-    c10 = hist_tap(y0i, x0 + 1)
-    c01 = hist_tap(y0i + 1, x0)
-    c11 = hist_tap(y0i + 1, x0 + 1)
+        def shape(c, ok):
+            t = vec3.where(ok, _tonemap_v3(V3(*c)), 0.0)
+            return V3(t.x.reshape(band_h, width),
+                      t.y.reshape(band_h, width),
+                      t.z.reshape(band_h, width))
+
+        return shape(c0, ok0), shape(c1, ok1)
+
+    c00, c10 = hist_tap2(y0i, x0)
+    c01, c11 = hist_tap2(y0i + 1, x0)
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     hist_tm = top * (1 - fy) + bot * fy

@@ -176,14 +176,28 @@ def _is_valid_neighbor_temporal(curr_pos, curr_normal, curr_mat,
     return ok
 
 
-def _is_valid_neighbor_spatial(scene, curr_pos, curr_normal, curr_mat,
-                               n_pos, n_normal, n_mat, camera_pos):
-    """restir_spatial.wgsl:783-814 (specular-aware thresholds)."""
-    mid = jnp.maximum(curr_mat, 0)
-    mat_rough = scene.materials["roughness"][mid]
-    mat_metal = scene.materials["metallic"][mid]
-    mat_trans = scene.materials["transmission"][mid]
-    is_specular = (mat_rough < 0.2) | (mat_metal > 0.8) | (mat_trans > 0.01)
+def _mat_rmt(scene, mid):
+    """[R] material ids -> (roughness, metallic, transmission) dense [R]s
+    via ONE exact one-hot matmul (ops/gather.select_gather_cols). Three
+    separate per-field gathers cost ~15 ns/row EACH on TPU (PERF.md) -
+    and the spatial tap scan used to re-fetch them on every tap."""
+    from .gather import select_gather_cols
+
+    table = jnp.stack([scene.materials["roughness"],
+                       scene.materials["metallic"],
+                       scene.materials["transmission"]], axis=1)
+    return select_gather_cols(table, mid)
+
+
+def _is_valid_neighbor_spatial(curr_specular, curr_pos, curr_normal,
+                               curr_mat, n_pos, n_normal, n_mat,
+                               camera_pos):
+    """restir_spatial.wgsl:783-814 (specular-aware thresholds).
+
+    curr_specular: [R] bool at the (0.2, 0.8, 0.01) validity thresholds,
+    computed ONCE by the caller (this runs inside the 5-tap scan; the
+    per-tap material re-fetch was 15 runtime gathers per frame)."""
+    is_specular = curr_specular
 
     ok = curr_mat == n_mat
     ndot = vec3.dot(curr_normal, n_normal)
@@ -262,9 +276,8 @@ def restir_temporal(scene, gb, prev_view, camera,
     c_norm = vec3.oct_decode(gb["oct_normal"][:, 0], gb["oct_normal"][:, 1])
 
     mid = jnp.maximum(gb["mat_id"], 0)
-    is_specular = ((scene.materials["roughness"][mid] < 0.2)
-                   | (scene.materials["metallic"][mid] > 0.8)
-                   | (scene.materials["transmission"][mid] > 0.01))
+    rough, metal, trans = _mat_rmt(scene, mid)
+    is_specular = (rough < 0.2) | (metal > 0.8) | (trans > 0.01)
 
     cam3 = _cam_v3(camera["view_pos"][:3], n)
     pos = vec3.of(gb["pos"])
@@ -369,9 +382,11 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
     cam3 = _cam_v3(camera_pos, gx.shape[0])
 
     mid = jnp.maximum(mat_id, 0)
-    is_specular = ((scene.materials["roughness"][mid] < 0.1)
-                   | (scene.materials["metallic"][mid] > 0.9)
-                   | (scene.materials["transmission"][mid] > 0.1))
+    rough, metal, trans = _mat_rmt(scene, mid)
+    is_specular = (rough < 0.1) | (metal > 0.9) | (trans > 0.1)
+    # neighbor-validity specular flag (different thresholds,
+    # restir_spatial.wgsl:783-814) - fetched once, used by every tap
+    valid_spec = (rough < 0.2) | (metal > 0.8) | (trans > 0.01)
     num_neighbors = jnp.where(is_specular, 3, 5)   # restir_spatial.wgsl:901-910
     radius = jnp.where(is_specular, 4.0, 10.0)
 
@@ -435,7 +450,7 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
         n_pos = nh["pos"]
         n_norm = nh["norm"]
         ok &= _is_valid_neighbor_spatial(
-            scene, pos, normal, mat_id, n_pos, n_norm, nh["mat"], cam3)
+            valid_spec, pos, normal, mat_id, n_pos, n_norm, nh["mat"], cam3)
 
         nbres = unpack_reservoir_cols(comb_c[GB_COLS:])
         ok &= nbres["p_hat"] > 0.0
@@ -520,7 +535,7 @@ def restir_spatial(scene, gb, comb_view, in_reservoirs, camera,
 
         ok = it_active & cov & n_valid
         ok &= _is_valid_neighbor_spatial(
-            scene, pos, normal, mat_id, n_pos, n_norm, n_mat, cam3)
+            valid_spec, pos, normal, mat_id, n_pos, n_norm, n_mat, cam3)
 
         nbres = unpack_reservoir_cols(comb_c[GB_COLS:])
         nb_y = nbres["y"]

@@ -80,6 +80,49 @@ class BandView:
         rows, valid = self.read(gy, gx)
         return _transpose_cols(rows), valid
 
+    def read_cols_x2(self, gy, gx):
+        """Columns of the TWO horizontally-adjacent texels (gy, gx) and
+        (gy, gx+1) in ONE gather.
+
+        Horizontally-adjacent texels are adjacent flat rows, so a
+        slice_sizes=(2, C) gather visits one row per lane where two
+        `read_cols` calls visit two - and TPU gathers cost ~15 ns per
+        visited row regardless of width (PERF.md). This is the bilinear
+        history read's x-pair (post.wgsl:180-228 analogue) at half price.
+
+        Returns (cols0, cols1, valid0, valid1). Edge semantics match two
+        independent reads exactly: the 2-texel window anchors at
+        clip(gx, 0, width-2) and per-texel offsets into the window
+        re-select the right row, so every texel the masks report VALID
+        carries the value read() would return (a texel whose own gx is
+        outside the image stays masked, as read() reports it).
+        """
+        if self.width < 2:
+            c0, v0 = self.read_cols(gy, gx)
+            c1, v1 = self.read_cols(gy, gx + 1)
+            return c0, c1, v0, v1
+        _, valid0 = _band_index(self, gy, gx)
+        _, valid1 = _band_index(self, gy, gx + 1)
+        c = self.data.shape[-1]
+        cover_rows = self.band_h + 2 * self.halo
+        local_row = jnp.clip(gy - self.y0 + self.halo, 0, cover_rows - 1)
+        base = jnp.clip(gx, 0, self.width - 2)
+        start = local_row * self.width + base
+        off0 = jnp.clip(gx - base, 0, 1)      # 1 only when gx == width-1
+        off1 = jnp.clip(gx + 1 - base, 0, 1)  # 0 only when gx == -1
+        out = jax.lax.gather(
+            self.data, start[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(2, c))                    # [R, 2, C]
+        flat = _transpose_cols(out.reshape(-1, 2 * c))   # 2C dense [R]s
+        cols0 = [jnp.where(off0 == 1, flat[c + k], flat[k])
+                 for k in range(c)]
+        cols1 = [jnp.where(off1 == 0, flat[k], flat[c + k])
+                 for k in range(c)]
+        return cols0, cols1, valid0, valid1
+
     def as_2d(self):
         """[(band_h + 2*halo), width, ...] image-shaped view."""
         trailing = self.data.shape[1:]
