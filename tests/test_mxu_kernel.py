@@ -369,6 +369,10 @@ def test_no_worklist_matches_default(trace_env):
     out_any = pallas_trace.trace_brute_pallas(
         planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuf2", active=active,
         any_hit=True)
+    out_v = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuv2", active=active)
+    assert ((np.asarray(out_v["tri"]) >= 0)
+            == (np.asarray(out["tri"]) >= 0)).all()
 
     rt, ot = np.asarray(ref["tri"]), np.asarray(out["tri"])
     assert ((rt >= 0) == (ot >= 0)).all()

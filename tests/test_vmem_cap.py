@@ -20,10 +20,13 @@ def br(monkeypatch):
     return set_br
 
 
-def _bytes(mode, br_v):
+def _bytes(mode, br_v, mxus_v=False):
     grp = pt._mode_grp(mode)
     win = br_v * 4 * pt.CT * grp * 4
     if mode.startswith("mxuv"):
+        win += 3 * br_v * pt.CT * 4
+    if mode.startswith("mxus") and mxus_v and pt._mxus_matrix_best_ok(grp):
+        # matrix-best selection scratch, kept only when it fits
         win += 3 * br_v * pt.CT * 4
     return win
 
@@ -73,6 +76,31 @@ def test_mxus_halved_only_under_matrix_best(br, monkeypatch):
     assert pt._vmem_cap_mode("mxus8") == "mxus4"
     monkeypatch.setenv("TPU_RT_MXUS_V", "1")
     assert pt._vmem_cap_mode("mxus8") == "mxus2"
+
+
+@pytest.mark.parametrize("br_v", [256, 512, 1024, 2048, 4096])
+@pytest.mark.parametrize("mode", ["mxus1", "mxus2", "mxus4", "mxus8"])
+def test_mxus_matrix_best_total_fits_envelope(br, monkeypatch, br_v, mode):
+    """Width clamping alone can't shrink the matrix-best scratch (it
+    scales with BR, not grp) - the kernel must DROP matrix-best when the
+    window + scratch pair would exceed the envelope, and whatever runs
+    must fit. At BR=4096 even mxus1 + scratch is 14.7 MB - the class of
+    allocation that faulted and wedged the tunnel in r3."""
+    br(br_v)
+    monkeypatch.setenv("TPU_RT_MXUS_V", "1")
+    capped = pt._vmem_cap_mode(mode)
+    assert _bytes(capped, br_v, mxus_v=True) <= ENVELOPE, (mode, br_v,
+                                                           capped)
+
+
+def test_matrix_best_dropped_when_scratch_overflows(br, monkeypatch):
+    monkeypatch.setenv("TPU_RT_MXUS_V", "1")
+    br(1024)
+    assert pt._mxus_matrix_best_ok(2)          # 5.8 MB: keep
+    br(2048)
+    assert pt._mxus_matrix_best_ok(1)          # 7.3 MB: keep
+    br(4096)
+    assert not pt._mxus_matrix_best_ok(1)      # 14.7 MB: drop
 
 
 def test_instanced_guard_rejects_overwide_br(br):

@@ -95,6 +95,8 @@ def _vmem_cap_mode(mode: str) -> str:
     elif mode.startswith("mxus"):
         cap = (max(1, base_cap // 2)
                if os.environ.get("TPU_RT_MXUS_V", "0") == "1" else base_cap)
+        # past grp=1 the matrix-best scratch itself can still overflow;
+        # _run_kernel drops matrix_best via _mxus_matrix_best_ok then
         capped = mode if _mode_grp(mode) <= cap else f"mxus{cap}"
     else:
         return mode
@@ -106,6 +108,15 @@ def _vmem_cap_mode(mode: str) -> str:
               f"fault envelope at BR={BR}; clamped to {capped!r}",
               file=sys.stderr)
     return capped
+
+
+def _mxus_matrix_best_ok(grp: int) -> bool:
+    """Whether the streamed kernel may keep its matrix-best selection
+    (TPU_RT_MXUS_V): it adds 3x [BR, CT] f32 scratch ON TOP of the
+    [BR, 4*CT*grp] window product, and past grp=1 width clamping can't
+    shrink the scratch - so the pair must fit the 8.4 MB envelope or
+    matrix-best degrades to the argmin selection (results identical)."""
+    return BR * CT * 4 * (4 * grp + 3) <= 512 * 8 * 4 * CT * 4
 
 
 _MT_EPS = 1e-9
@@ -741,11 +752,13 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
     closest-hit stops once every live lane's best t beats the next
     unit's conservative entry distance; any-hit (restir.wgsl:375-381
     flag-0x4 economics) skips the argmin/division half entirely and
-    stops once every live lane is occluded. Termination uses a 3-state
-    SMEM flag (0 = sweeping, 1 = terminated with ONE prefetch DMA still
-    in flight - drained on the next iteration, never left dangling at
-    kernel exit - and 2 = drained), because the next unit's copy is
-    issued before its sweep decides we are done.
+    stops once every live lane is occluded. Because unit i+1's prefetch
+    is issued BEFORE unit i's sweep decides we are done, the terminating
+    iteration itself drains that in-flight copy (wait on slot (i+1)%2)
+    and sets the SMEM flag to 2 (0 = sweeping, 2 = terminated+drained).
+    Never defer the drain to a later iteration: later iterations issue
+    no copy of their own, so waiting any other slot there blocks on a
+    never-signalled DMA semaphore and hangs the chip.
 
     matrix_best=True (closest-hit only; TPU_RT_MXUS_V=1): the per-chunk
     argmin/min + per-element division are replaced by the mxuv running
@@ -1330,6 +1343,12 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
             rays = jnp.concatenate(
                 [rays, jnp.zeros((8, pad), jnp.float32)], axis=1)
 
+    # VMEM fault-envelope clamp runs BEFORE any dispatch path - the
+    # INCULL experiment below launches its own kernel and must not
+    # bypass the BR refusal / width caps (a fault can wedge the tunnel
+    # for hours). The later resolution chain re-applies it; idempotent.
+    kernel = _vmem_cap_mode(kernel)
+
     # EXPERIMENT (default OFF - regressed 7.7 -> 5.3 Mrays/s): cull
     # INSIDE the kernel (slab-guarded groups) instead of the XLA worklist
     # prepass. The per-group scalar reduce + pl.when branch machinery
@@ -1627,7 +1646,8 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
         tri_arg = _coef48_or(coef48, coef48_grp, tri_planes, grp)
         tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)   # stays in HBM
         matrix_best = (not any_hit
-                       and os.environ.get("TPU_RT_MXUS_V", "0") == "1")
+                       and os.environ.get("TPU_RT_MXUS_V", "0") == "1"
+                       and _mxus_matrix_best_ok(grp))
         scratch_shapes = [
             pltpu.VMEM((2, 48, cols), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),

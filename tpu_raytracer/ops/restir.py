@@ -178,15 +178,17 @@ def _is_valid_neighbor_temporal(curr_pos, curr_normal, curr_mat,
 
 def _mat_rmt(scene, mid):
     """[R] material ids -> (roughness, metallic, transmission) dense [R]s
-    via ONE exact one-hot matmul (ops/gather.select_gather_cols). Three
-    separate per-field gathers cost ~15 ns/row EACH on TPU (PERF.md) -
-    and the spatial tap scan used to re-fetch them on every tap."""
-    from .gather import select_gather_cols
+    in ONE fetch. Three separate per-field gathers cost ~15 ns/row EACH
+    on TPU (PERF.md) - and the spatial tap scan used to re-fetch them on
+    every tap. Routed through hit.fetch_cols, which picks the exact
+    one-hot matmul for small tables and falls back to a single native
+    row gather past the one-hot HBM budget (huge material counts)."""
+    from .hit import fetch_cols
 
     table = jnp.stack([scene.materials["roughness"],
                        scene.materials["metallic"],
                        scene.materials["transmission"]], axis=1)
-    return select_gather_cols(table, mid)
+    return fetch_cols(table, mid)
 
 
 def _is_valid_neighbor_spatial(curr_specular, curr_pos, curr_normal,

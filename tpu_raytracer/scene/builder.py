@@ -290,6 +290,11 @@ class SceneBuilder:
         unit = _IG * _CT
         tp_obj = sum(max(-(-self.meshes[m].num_triangles // unit), 1) * unit
                      for m in used)
+        # NOTE: auto's threshold tracks the swept-path cap, which r3's
+        # segmented worklists raised 131072 -> 524288: auto scenes in
+        # that band now FLATTEN (per-instance memory, streamed mxus
+        # sweep) where they used to instance. Explicit instancing="on"
+        # keeps the per-mesh memory model regardless of size.
         want_instanced = (instancing == "on") or (
             instancing == "auto" and t_world > BRUTE_FORCE_MAX_TRIS
             and tp_obj <= MXUF_MAX_TP)
