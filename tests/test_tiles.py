@@ -178,3 +178,31 @@ def test_read_cols_x2_matches_two_reads():
         np.testing.assert_array_equal(a[np.asarray(v0)], b[np.asarray(v0)])
         a, b = np.asarray(c1[k]), np.asarray(r1[k])
         np.testing.assert_array_equal(a[np.asarray(v1)], b[np.asarray(v1)])
+
+
+def test_gather_t_mode_bit_identical(trace_env):
+    """TPU_RT_GATHER_T=1 (column-major gather output instead of gather +
+    explicit transpose) must be bit-identical for both view classes."""
+    from tpu_raytracer.parallel import views as views_mod
+
+    rng = np.random.default_rng(9)
+    w, hgt = 11, 7
+    a = jnp.asarray(rng.standard_normal((hgt * w, 5)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((hgt * w, 3)).astype(np.float32))
+    gy = jnp.asarray(rng.integers(-2, hgt + 2, 150).astype(np.int32))
+    gx = jnp.asarray(rng.integers(-2, w + 2, 150).astype(np.int32))
+
+    view = views_mod.trivial_view(a, w, hgt)
+    pview = views_mod.trivial_pair_view(a, b, w, hgt)
+    ref, rv = view.read_cols(gy, gx)
+    pref, prv = pview.read_cols(gy, gx)
+
+    trace_env.setenv("TPU_RT_GATHER_T", "1")
+    got, gv = view.read_cols(gy, gx)
+    pgot, pgv = pview.read_cols(gy, gx)
+    np.testing.assert_array_equal(np.asarray(rv), np.asarray(gv))
+    for k in range(5):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]))
+    for k in range(8):
+        np.testing.assert_array_equal(np.asarray(pref[k]),
+                                      np.asarray(pgot[k]))

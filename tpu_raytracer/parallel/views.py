@@ -30,6 +30,30 @@ def _transpose_cols(rows):
     return [rt[k] for k in range(rows.shape[-1])]
 
 
+def _gather_cols(data, idx):
+    """rows data[idx] de-interleaved: list of C dense [R] columns.
+
+    Default: one native row gather + ONE tiled [R, C] -> [C, R] transpose
+    (measured best of three on v5e, scripts/ucb_cols.py). Under
+    TPU_RT_GATHER_T=1 the gather is asked for a COLUMN-MAJOR output
+    directly (offset dims placed before the batch dim) - bit-identical,
+    and whether XLA:TPU lowers it better than the explicit transpose is
+    an open on-chip A/B (the transpose alone was ~5.8 ms per 35-col
+    fetch at 262k rows)."""
+    import os
+
+    c = data.shape[-1]
+    if os.environ.get("TPU_RT_GATHER_T", "0") == "1":
+        out = jax.lax.gather(
+            data, idx[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(0,), collapsed_slice_dims=(0,),
+                start_index_map=(0,)),
+            slice_sizes=(1, c))                        # [C, R]
+        return [out[k] for k in range(c)]
+    return _transpose_cols(data[idx])
+
+
 def _band_index(view, gy, gx):
     """Shared band addressing: global (gy, gx) -> (flat idx, valid).
 
@@ -77,8 +101,8 @@ class BandView:
         major-dim slices - cheaper than per-column slices of the row-major
         gather result, which XLA lowers as a T(8,128) -> T(1024) layout
         transpose ~10x below HBM bandwidth (scripts/ucb_cols.py)."""
-        rows, valid = self.read(gy, gx)
-        return _transpose_cols(rows), valid
+        idx, valid = _band_index(self, gy, gx)
+        return _gather_cols(self.data, idx), valid
 
     def read_cols_x2(self, gy, gx):
         """Columns of the TWO horizontally-adjacent texels (gy, gx) and
@@ -163,7 +187,7 @@ class PairBandView:
         """As BandView.read_cols; the two row gathers transpose separately,
         so the column lists concatenate for free (no [R, Ca+Cb] copy)."""
         idx, valid = _band_index(self, gy, gx)
-        return _transpose_cols(self.a[idx]) + _transpose_cols(self.b[idx]), valid
+        return _gather_cols(self.a, idx) + _gather_cols(self.b, idx), valid
 
 
 def trivial_pair_view(a, b, width: int, height: int) -> PairBandView:
