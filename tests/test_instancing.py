@@ -265,3 +265,31 @@ def test_gallery_scene_memory_model():
     res = scene_trace(s16, o, d, 1e-3, 3.0e38)
     assert (np.asarray(res["tri"]) >= 0).mean() > 0.9   # grid+floor cover
     assert np.asarray(res["inst"]).max() >= 2           # spheres get hit
+
+
+def test_instanced_full_frame_pallas_kernel(trace_env):
+    """Same end-to-end frame equality, but through the REAL instanced
+    Pallas kernel (TPU_RT_FORCE_PALLAS=1 routes the CPU backend through
+    it in interpret mode) - the default CPU dispatch exercises only the
+    XLA fallback, so config 3's actual on-chip path had no full-pipeline
+    coverage."""
+    from tpu_raytracer.render import camera as camera_mod
+    from tpu_raytracer.render import pipeline, renderer
+
+    trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")
+    sf, si = _scenes()
+    w = h = 32
+    cam = camera_mod.CameraController()
+    outs = []
+    for scene in (sf, si):
+        state = pipeline.init_state(w, h)
+        uniform = renderer.camera_to_device(
+            cam.uniform(1.0, 0, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(0), state, w, h)
+        img = np.asarray(ldr)
+        assert np.isnan(img).sum() == 0
+        outs.append(img)
+    diff = np.abs(outs[0].astype(np.float64) - outs[1].astype(np.float64))
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 8).mean() < 0.02
