@@ -123,3 +123,48 @@ def test_mxuv_full_pipeline(trace_env, monkeypatch):
     want = _render_frames(48, 48, 3)
     p = psnr(got, want)
     assert p > 45.0, f"mxuv2 vs mxuf2 PSNR = {p:.1f} dB"
+
+
+def test_streamed_kernel_full_pipeline(trace_env):
+    """A just-beyond-VMEM scene (> MXUF_MAX_TP tris) through the WHOLE
+    ReSTIR frame on the streamed (mxus) kernel must match the XLA brute
+    render - end-to-end coverage for config 6's actual dispatch path,
+    which no other full-pipeline test reaches."""
+    from tpu_raytracer.ops import pallas_trace
+    from tpu_raytracer.scene.builder import SceneBuilder
+    from tpu_raytracer.scene.geometry import create_plane, create_sphere
+    from tpu_raytracer.scene.material import Material
+    from tpu_raytracer.utils.math3d import rotation_x, scale, translation
+
+    b = SceneBuilder()
+    plane = b.add_mesh(create_plane())
+    mat = b.add_material(Material((0.73, 0.73, 0.73, 1.0)))
+    body = b.add_material(Material((0.8, 0.7, 0.5, 1.0)).roughness(0.4))
+    b.add_instance(plane, mat, translation([0, -1, 0]) @ scale(2.0))
+    b.register_quad_light(
+        plane, translation([0, 0.99, 0]) @ rotation_x(np.pi) @ scale(0.5),
+        [1.0, 1.0, 1.0], 10.0)
+    s5 = b.add_mesh(create_sphere(5))
+    s4 = b.add_mesh(create_sphere(4))
+    b.add_instance(s5, body, translation([0, -0.4, 0]) @ scale(0.6))
+    for tx in (-0.6, 0.0, 0.6):
+        b.add_instance(s4, body, translation([tx, -0.8, 0.4]) @ scale(0.25))
+    scene = b.build()
+    assert scene.tri_planes.shape[2] > pallas_trace.MXUF_MAX_TP
+    assert not scene.instanced
+
+    w = h = 24
+    cam = camera_mod.CameraController()
+
+    def render():
+        state = pipeline.init_state(w, h)
+        u = renderer.camera_to_device(cam.uniform(1.0, 0, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, u, jnp.uint32(0), state, w, h)
+        return np.asarray(ldr, np.float32)
+
+    want = render()                               # XLA brute scan
+    trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")  # -> streamed mxus
+    got = render()
+    p = psnr(got, want)
+    assert p > 40.0, f"mxus pipeline vs XLA brute PSNR = {p:.1f} dB"
