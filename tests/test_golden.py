@@ -168,3 +168,28 @@ def test_streamed_kernel_full_pipeline(trace_env):
     got = render()
     p = psnr(got, want)
     assert p > 40.0, f"mxus pipeline vs XLA brute PSNR = {p:.1f} dB"
+
+
+def test_no_worklist_full_pipeline(trace_env):
+    """TPU_RT_NO_WORKLIST=1 (skip the slab/sort prepass; kernel sweeps
+    every unit in layout order) through the WHOLE frame must match the
+    culled default up to exact-t tie reordering. Protects ladder step
+    05b."""
+    trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")
+    trace_env.setenv("TPU_RT_NO_WORKLIST", "1")
+    got = _render_frames(48, 48, 2)
+    trace_env.delenv("TPU_RT_NO_WORKLIST")
+    want = _render_frames(48, 48, 2)
+    p = psnr(got, want)
+    assert p > 45.0, f"no-worklist vs default PSNR = {p:.1f} dB"
+
+
+def test_gather_t_full_pipeline(trace_env):
+    """TPU_RT_GATHER_T=1 (column-major gather outputs on neighbor reads)
+    is bit-identical at the op level; this pins the whole frame too.
+    Protects ladder step 08b."""
+    trace_env.setenv("TPU_RT_GATHER_T", "1")
+    got = _render_frames(48, 48, 2)
+    trace_env.delenv("TPU_RT_GATHER_T")
+    want = _render_frames(48, 48, 2)
+    assert float(np.abs(got - want).max()) == 0.0
