@@ -82,6 +82,57 @@ def test_moving_pixels_use_clamped_taa():
     assert np.asarray(accum).max() < 1.0
 
 
+def test_read_cols_quad_matches_independent_reads():
+    """read_cols_quad (one overlapping-quad gather) must return, corner by
+    corner, exactly what four independent read() calls return - values
+    where valid AND the valid flags - including the edge anchors gx=-1,
+    gx=width-1 and rows at/over the coverage boundary."""
+    rng = np.random.default_rng(7)
+    w, h = 16, 32
+    for y0, band_h, halo in [(0, h, 0), (8, 8, 2)]:
+        cover = band_h + 2 * halo
+        data = jnp.asarray(rng.normal(size=(cover * w, 3)).astype(np.float32))
+        view = views_mod.BandView(data=data, y0=jnp.int32(y0), width=w,
+                                  height=h, band_h=band_h, halo=halo)
+        gy = jnp.asarray(np.concatenate([
+            rng.integers(-2, h + 2, size=64),
+            [y0 - halo - 1, y0 - halo, y0 + band_h + halo - 2,
+             y0 + band_h + halo - 1, y0 + band_h + halo],
+        ]).astype(np.int32))
+        gx = jnp.asarray(np.concatenate([
+            rng.integers(-1, w + 1, size=64),
+            [-1, 0, w - 2, w - 1, w],
+        ]).astype(np.int32))
+        n = min(gy.shape[0], gx.shape[0])
+        gy, gx = gy[:n], gx[:n]
+        out = view.read_cols_quad(gy, gx)
+        corners, valids = out[:4], out[4:]
+        for (dy, dx), cols, v in zip(
+                [(0, 0), (0, 1), (1, 0), (1, 1)],
+                corners, valids):
+            want_vals, want_ok = view.read(gy + dy, gx + dx)
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(want_ok))
+            got = np.stack([np.asarray(c) for c in cols], axis=-1)
+            ok = np.asarray(want_ok)
+            np.testing.assert_array_equal(got[ok], np.asarray(want_vals)[ok])
+
+
+def test_hist_quad_gate_bit_identical(trace_env):
+    """TPU_RT_HIST_QUAD=1 (one-gather 2x2 history footprint) must be
+    bit-identical to the default two-gather path, including reprojection
+    taps pushed outside the image by motion."""
+    rng = np.random.default_rng(3)
+    hdr = rng.uniform(0, 2, size=(N, 3)).astype(np.float32)
+    history = rng.uniform(0, 2, size=(N, 3)).astype(np.float32)
+    gb = _gb(rng.uniform(0, 1, size=(N, 3)).astype(np.float32),
+             motion=3.7 / W)  # pushes edge pixels' taps out of bounds
+    ldr0, acc0 = _run_post(hdr, gb, history, frame=5)
+    trace_env.setenv("TPU_RT_HIST_QUAD", "1")
+    ldr1, acc1 = _run_post(hdr, gb, history, frame=5)
+    np.testing.assert_array_equal(np.asarray(ldr0), np.asarray(ldr1))
+    np.testing.assert_array_equal(np.asarray(acc0), np.asarray(acc1))
+
+
 def test_gamma_encode():
     gb = _gb(np.full((N, 3), 0.5, np.float32))
     hdr = np.full((N, 3), 0.25, np.float32)

@@ -37,6 +37,7 @@ omitted here.
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 
@@ -228,23 +229,29 @@ def post_process(hdr_view, gb, gb_view, history_view, frame_count, ctx):
     fx = px - x0.astype(jnp.float32)
     fy = py - y0i.astype(jnp.float32)
 
-    def hist_tap2(yy, xx):
-        # both x-neighbors of the bilinear footprint in ONE gather
-        # (adjacent flat rows; TPU gathers cost per visited ROW -
-        # BandView.read_cols_x2, PERF.md)
-        c0, c1, ok0, ok1 = history_view.read_cols_x2(
-            yy.reshape(-1), xx.reshape(-1))
+    def _shape_tap(c, ok):
+        t = vec3.where(ok, _tonemap_v3(V3(*c)), 0.0)
+        return V3(t.x.reshape(band_h, width),
+                  t.y.reshape(band_h, width),
+                  t.z.reshape(band_h, width))
 
-        def shape(c, ok):
-            t = vec3.where(ok, _tonemap_v3(V3(*c)), 0.0)
-            return V3(t.x.reshape(band_h, width),
-                      t.y.reshape(band_h, width),
-                      t.z.reshape(band_h, width))
+    if os.environ.get("TPU_RT_HIST_QUAD", "0") == "1":
+        # whole 2x2 footprint in ONE gather via overlapping-quad packed
+        # rows (4x row width built by dense rolls; BandView.read_cols_quad)
+        q = history_view.read_cols_quad(y0i.reshape(-1), x0.reshape(-1))
+        c00, c10, c01, c11 = (_shape_tap(c, ok)
+                              for c, ok in zip(q[:4], q[4:]))
+    else:
+        def hist_tap2(yy, xx):
+            # both x-neighbors of the bilinear footprint in ONE gather
+            # (adjacent flat rows; TPU gathers cost per visited ROW -
+            # BandView.read_cols_x2, PERF.md)
+            c0, c1, ok0, ok1 = history_view.read_cols_x2(
+                yy.reshape(-1), xx.reshape(-1))
+            return _shape_tap(c0, ok0), _shape_tap(c1, ok1)
 
-        return shape(c0, ok0), shape(c1, ok1)
-
-    c00, c10 = hist_tap2(y0i, x0)
-    c01, c11 = hist_tap2(y0i + 1, x0)
+        c00, c10 = hist_tap2(y0i, x0)
+        c01, c11 = hist_tap2(y0i + 1, x0)
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     hist_tm = top * (1 - fy) + bot * fy

@@ -147,6 +147,64 @@ class BandView:
                  for k in range(c)]
         return cols0, cols1, valid0, valid1
 
+    def read_cols_quad(self, gy, gx):
+        """Columns of the full 2x2 bilinear footprint {(gy, gx), (gy, gx+1),
+        (gy+1, gx), (gy+1, gx+1)} in ONE gather.
+
+        Overlapping-quad packing (PERF.md follow-up to read_cols_x2): a
+        per-call packed copy of the view holds every pixel's quad
+        [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] as one 4C-wide row (built by
+        three dense rolls - 4x the row width, no gathers), so the whole
+        bilinear footprint is ONE visited row per lane where read_cols_x2
+        pays two. Anchors clamp to (cover_rows-2, width-2) and per-corner
+        offsets re-select within the quad, exactly like read_cols_x2's
+        x-window: every corner the masks report VALID carries the value
+        read() would return.
+
+        Returns (c00, c10, c01, c11, v00, v10, v01, v11) - cXY is the
+        column list of corner (gy+Y, gx+X), matching the (x-pair, y-row)
+        order of two read_cols_x2 calls at gy and gy+1.
+        """
+        cover_rows = self.band_h + 2 * self.halo
+        if self.width < 2 or cover_rows < 2:
+            c00, c10, v00, v10 = self.read_cols_x2(gy, gx)
+            c01, c11, v01, v11 = self.read_cols_x2(gy + 1, gx)
+            return c00, c10, c01, c11, v00, v10, v01, v11
+        _, v00 = _band_index(self, gy, gx)
+        _, v10 = _band_index(self, gy, gx + 1)
+        _, v01 = _band_index(self, gy + 1, gx)
+        _, v11 = _band_index(self, gy + 1, gx + 1)
+        c = self.data.shape[-1]
+        w = self.width
+        # row (y, x) -> [self | x+1 | y+1 | y+1,x+1]; roll wraps only ever
+        # land in corners the anchor clamp keeps un-selected or the valid
+        # masks report invalid.
+        quad = jnp.concatenate([
+            self.data,
+            jnp.roll(self.data, -1, axis=0),
+            jnp.roll(self.data, -w, axis=0),
+            jnp.roll(self.data, -(w + 1), axis=0),
+        ], axis=-1)                                    # [N, 4C]
+        local = gy - self.y0 + self.halo
+        ly = jnp.clip(local, 0, cover_rows - 2)
+        bx = jnp.clip(gx, 0, self.width - 2)
+        offy0 = jnp.clip(local - ly, 0, 1)      # 1 only at the bottom edge
+        offy1 = jnp.clip(local + 1 - ly, 0, 1)  # 0 only above the top edge
+        offx0 = jnp.clip(gx - bx, 0, 1)         # 1 only when gx == width-1
+        offx1 = jnp.clip(gx + 1 - bx, 0, 1)     # 0 only when gx == -1
+        cols = _gather_cols(quad, ly * w + bx)  # 4C dense [R]s
+
+        def corner(offx, offy):
+            top = [jnp.where(offx == 1, cols[c + k], cols[k])
+                   for k in range(c)]
+            bot = [jnp.where(offx == 1, cols[3 * c + k], cols[2 * c + k])
+                   for k in range(c)]
+            return [jnp.where(offy == 1, b, t) for t, b in zip(top, bot)]
+
+        return (corner(offx0, offy0), corner(offx1, offy0),
+                corner(offx0, offy1), corner(offx1, offy1),
+                v00, v10, v01, v11)
+
     def as_2d(self):
         """[(band_h + 2*halo), width, ...] image-shaped view."""
         trailing = self.data.shape[1:]
