@@ -70,5 +70,8 @@ run 16_config2                python bench.py --config 2
 run 17_config4                python bench.py --config 4
 run 18_config5                python bench.py --config 5
 run 19_config6_LAST           python bench.py --config 6
+# gallery artifact (same workload class as config 6; aborts with it if
+# the streamed sweep wedges the tunnel). Too slow for CPU (>28 min).
+run 20_gallery_knot           python scripts/render_restir.py --scene knot --size 256 --frames 32 --out gallery/dense_knot_textured.png
 summary
 echo "LADDER DONE $(date)" | tee /tmp/r3m/DONE

@@ -384,12 +384,46 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
         throughput = vec3.where(active, throughput * sc["weight"], throughput)
 
         # ONE batched traversal: this depth's shadow rays + the next
-        # depth's bounce rays (halves the sweep-call count per depth;
-        # the trailing bounce of the final iteration goes unused)
+        # depth's bounce rays (halves the sweep-call count per depth).
+        # The bounce half is consumed by the NEXT iteration; when this is
+        # the last one (depth+1 == MAX_DEPTH, or every lane just died) a
+        # scalar lax.cond routes the call to an R-wide any-hit occlusion
+        # query instead of the 2R-wide dual sweep - the blocked flags are
+        # identical (a windowed closest hit and an any-hit agree on "is
+        # anything in (t_min, t_max)") and the unused bounce result
+        # becomes a dummy miss the exited loop never reads. Saves one
+        # R-wide sweep per trace_path call (restir.wgsl's per-thread
+        # loop simply `break`s past its final ray_query; the wavefront's
+        # batched formulation otherwise cannot).
         offset_dir = ffnormal * jnp.sign(vec3.dot(ffnormal, sc["wi"]))
         origin_n = h["pos"] + offset_dir * 1e-3
-        blocked, res_n = _dual_trace(scene, s_ray, origin_n, sc["wi"],
-                                     active, num_lights, reorder=reorder)
+
+        def _trace_dual(_):
+            blocked, res = _dual_trace(scene, s_ray, origin_n, sc["wi"],
+                                       active, num_lights, reorder=reorder)
+            out = {"t": res["t"], "tri": res["tri"]}
+            if scene.instanced:
+                out["inst"] = res["inst"]
+            return blocked, out
+
+        def _trace_shadow_only(_):
+            if num_lights == 0:
+                blocked = jnp.zeros((r,), jnp.bool_)
+            else:
+                from .trace_api import scene_occluded
+
+                blocked = scene_occluded(
+                    scene, s_ray["origin"], s_ray["dir"], T_MIN,
+                    s_ray["t_max"], active=s_ray["active"], reorder=reorder)
+            res = {"t": jnp.zeros((r,), jnp.float32),
+                   "tri": jnp.full((r,), -1, jnp.int32)}
+            if scene.instanced:
+                res["inst"] = jnp.full((r,), -1, jnp.int32)
+            return blocked, res
+
+        last = (depth + 1 >= MAX_DEPTH) | ~jnp.any(active)
+        blocked, res_n = jax.lax.cond(last, _trace_shadow_only,
+                                      _trace_dual, None)
         accumulated = accumulated + vec3.where(
             nee_mask, _nee_apply(s_pre, blocked), 0.0) * thr_pre
 
