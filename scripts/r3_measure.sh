@@ -55,6 +55,7 @@ run 07_mxus_matrix            TPU_RT_MXUS_V=1 python scripts/ucb_mxus.py
 run 08_headline_tapbatch      TPU_RT_TAP_BATCH=1 python bench.py
 run 08b_headline_gather_t     TPU_RT_GATHER_T=1 python bench.py
 run 08c_headline_histquad     TPU_RT_HIST_QUAD=1 python bench.py
+run 08d_headline_nolastskip   TPU_RT_LAST_SKIP=0 python bench.py
 run 09_headline_br2048        TPU_RT_BR=2048 python bench.py
 run 10_headline_br2048_mxuv1  TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv1 python bench.py
 run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py

@@ -184,6 +184,20 @@ def test_no_worklist_full_pipeline(trace_env):
     assert p > 45.0, f"no-worklist vs default PSNR = {p:.1f} dB"
 
 
+def test_last_skip_full_pipeline(trace_env):
+    """TPU_RT_LAST_SKIP=0 (always-dual final bounce trace, the
+    pre-routing behavior) must be bit-identical to the default
+    shadow-only routing: the routed-away bounce result is never read.
+    Protects ladder step 08d; runs through the REAL kernels so the
+    any-hit/closest-hit blocked-flag agreement is exercised too."""
+    trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")
+    trace_env.setenv("TPU_RT_LAST_SKIP", "0")
+    want = _render_frames(48, 48, 2)
+    trace_env.delenv("TPU_RT_LAST_SKIP")
+    got = _render_frames(48, 48, 2)
+    assert float(np.abs(got - want).max()) == 0.0
+
+
 def test_gather_t_full_pipeline(trace_env):
     """TPU_RT_GATHER_T=1 (column-major gather outputs on neighbor reads)
     is bit-identical at the op level; this pins the whole frame too.

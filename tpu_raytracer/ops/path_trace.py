@@ -421,9 +421,13 @@ def trace_path(scene, gb, view_pos, seed, active=None, reorder="none"):
                 res["inst"] = jnp.full((r,), -1, jnp.int32)
             return blocked, res
 
-        last = (depth + 1 >= MAX_DEPTH) | ~jnp.any(active)
-        blocked, res_n = jax.lax.cond(last, _trace_shadow_only,
-                                      _trace_dual, None)
+        import os
+        if os.environ.get("TPU_RT_LAST_SKIP", "1") != "0":
+            last = (depth + 1 >= MAX_DEPTH) | ~jnp.any(active)
+            blocked, res_n = jax.lax.cond(last, _trace_shadow_only,
+                                          _trace_dual, None)
+        else:       # A/B: always-dual (pre-routing behavior)
+            blocked, res_n = _trace_dual(None)
         accumulated = accumulated + vec3.where(
             nee_mask, _nee_apply(s_pre, blocked), 0.0) * thr_pre
 
