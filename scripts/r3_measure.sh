@@ -50,6 +50,7 @@ run 03_headline_mxuv          TPU_RT_KERNEL=mxuv2 python bench.py
 run 04_headline_ohg           TPU_RT_OHG=1 python bench.py
 run 05_headline_combo         TPU_RT_KERNEL=mxuv2 TPU_RT_OHG=1 python bench.py
 run 05b_headline_noworklist   TPU_RT_NO_WORKLIST=1 python bench.py
+run 05c_headline_nwl_mxuv     TPU_RT_NO_WORKLIST=1 TPU_RT_KERNEL=mxuv2 python bench.py
 run 06_mxus_default           python scripts/ucb_mxus.py
 run 07_mxus_matrix            TPU_RT_MXUS_V=1 python scripts/ucb_mxus.py
 run 08_headline_tapbatch      TPU_RT_TAP_BATCH=1 python bench.py
