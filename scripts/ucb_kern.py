@@ -26,14 +26,15 @@ def main():
     base = None
     # VMEM hazard gate: a [BR, 4*CT*grp] f32 window product past ~8.4 MB
     # FAULTS the kernel and can wedge the axon tunnel for hours
-    # (PERF.md r3 / _mxus_grp). Only sweep group widths that fit.
-    grp_cap = max(1, (512 * 8) // pallas_trace.BR)
+    # (PERF.md r3). The envelope lives in ONE place - pallas_trace
+    # (_mxus_grp + the mxuv half-width rule in _vmem_cap_mode); asking
+    # for a mode and checking what the clamp returns keeps this sweep
+    # honest if the validated ceiling ever changes.
     modes = ["vpu", "mxu3"]
     for g in (1, 2, 4, 8):
-        if g <= grp_cap:
-            modes.append(f"mxuf{g}")
-        if g <= max(1, grp_cap // 2):     # mxuv adds 3x [BR, CT] scratch
-            modes.append(f"mxuv{g}")
+        for m in (f"mxuf{g}", f"mxuv{g}"):
+            if pallas_trace._vmem_cap_mode(m) == m:
+                modes.append(m)
     modes += ["mxuw2", "mxuw4"]
     for mode in modes:
         fn = jax.jit(lambda o, d, m=mode: pallas_trace.trace_brute_pallas(

@@ -293,3 +293,28 @@ def test_instanced_full_frame_pallas_kernel(trace_env):
     diff = np.abs(outs[0].astype(np.float64) - outs[1].astype(np.float64))
     assert diff.mean() < 2.0, diff.mean()
     assert (diff > 8).mean() < 0.02
+
+
+def test_instanced_vmem_residency_guard(monkeypatch):
+    """The instanced kernel pins the whole per-mesh coef block in VMEM;
+    past MXUF_MAX_TP triangle slots it must refuse loudly ON TPU (a
+    Mosaic VMEM oversubscription can fault and wedge the axon tunnel)
+    instead of dispatching. builder instancing="on" can request this -
+    "auto" never does. CPU/interpret dispatch stays permitted."""
+    import jax
+    import pytest
+
+    tp_big = pallas_trace.MXUF_MAX_TP + pallas_trace.CT
+    obj_planes = jnp.zeros((4, 3, tp_big), jnp.float32)
+    args = dict(
+        obj_gaabb=jnp.zeros((8, 1), jnp.float32),
+        inst_affine_inv=jnp.zeros((12, 1), jnp.float32),
+        inst_group_span=jnp.zeros((2, 1), jnp.int32),
+        inst_aabb=jnp.zeros((1, 8), jnp.float32),
+        ray_o=jnp.zeros((8, 3), jnp.float32),
+        ray_d=jnp.ones((8, 3), jnp.float32),
+        t_min=1e-3, t_max=100.0)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="VMEM-residency"):
+        pallas_trace.trace_instanced_pallas(obj_planes, **args)

@@ -383,3 +383,13 @@ def test_no_worklist_matches_default(trace_env):
     assert ((np.asarray(ref_any["tri"]) >= 0)
             == (np.asarray(out_any["tri"]) >= 0)).all()
     assert not (ot[~np.asarray(active)] >= 0).any()
+
+    # the any-hit all-occluded early exit stays available WITHOUT a
+    # worklist (the SMEM done flag needs no entry distances); force it
+    # on at this tiny unit count and re-check agreement
+    trace_env.setenv("TPU_RT_EARLY_MIN", "2")
+    out_any_e = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuf2", active=active,
+        any_hit=True)
+    assert ((np.asarray(ref_any["tri"]) >= 0)
+            == (np.asarray(out_any_e["tri"]) >= 0)).all()

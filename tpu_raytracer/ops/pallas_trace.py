@@ -628,7 +628,8 @@ def _mt_kernel_any(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
             def _():
                 prev = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
                 seed = jnp.broadcast_to(prev[:, None], (BR, CT))
-                found = jnp.max(sweep_group(list_ref[i, b], seed), axis=1)
+                g = list_ref[i, b] if use_worklist else i
+                found = jnp.max(sweep_group(g, seed), axis=1)
                 idx_ref[0, :] = jnp.where(
                     found > 0.0, 1, -1).astype(jnp.int32)
                 all_done = jnp.min(jnp.maximum(found, inactive)) > 0.0
@@ -773,13 +774,16 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
     rays = rays_ref[:]
     t_min = rays[6][:, None]
     t_max = rays[7][:, None]
-    feat = _feat48(rays)
     live0 = rays[7] > 0.0
     inactive = jnp.where(rays[7] <= 0.0, 1.0, 0.0)     # [BR]
 
     b = pl.program_id(0)
     n_live = count_ref[b] if use_worklist else num_groups
     cols = grp * 4 * CT
+    # the [48, BR] feature build and the matrix-best scratch splats are
+    # per-element work a fully-dead block (n_live == 0) must NOT pay -
+    # every branch below computes them under its pl.when(n_live > 0)
+    # gate, like _mt_kernel_mxuf/_mt_kernel_any (dead-block skip)
 
     def start_copy(i, slot):
         g = list_ref[i, b] if use_worklist else i
@@ -800,7 +804,8 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
         t_ref[0, :] = jnp.where(live0, INF, 0.0)
         idx_ref[0, :] = jnp.full((BR,), -1, jnp.int32)
     done_ref[0] = jnp.int32(0)
-    if matrix_best and not any_hit:
+
+    def init_mat():
         # see _mt_kernel_mxuv: dead lanes at tn = -INF (always "done",
         # never improved); live lanes at tn/d = INF/1
         sgn_live = jnp.where(rays[7] > 0.0, 1.0, -1.0)
@@ -848,20 +853,22 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
         idx_ref[0, :] = jnp.where(have, idx_f, -1.0).astype(jnp.int32)
 
     if matrix_best and not any_hit and not early:
-        def group_m(i, carry):
-            @pl.when(i + 1 < n_live)
-            def _():
-                start_copy(i + 1, (i + 1) % 2)
-
-            wait_copy(i % 2)
-            g = list_ref[i, b] if use_worklist else i
-            sweep_cols_mat(_dot48(feat, buf_ref[i % 2]), g)
-            return carry
-
-        jax.lax.fori_loop(0, n_live, group_m, jnp.int32(0))
-
         @pl.when(n_live > 0)
         def _():
+            feat = _feat48(rays)
+            init_mat()
+
+            def group_m(i, carry):
+                @pl.when(i + 1 < n_live)
+                def _():
+                    start_copy(i + 1, (i + 1) % 2)
+
+                wait_copy(i % 2)
+                g = list_ref[i, b] if use_worklist else i
+                sweep_cols_mat(_dot48(feat, buf_ref[i % 2]), g)
+                return carry
+
+            jax.lax.fori_loop(0, n_live, group_m, jnp.int32(0))
             finalize_mat()
         return
 
@@ -905,32 +912,39 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
                         improved, (g * grp + k) * CT + best_lane, idx_best)
             return t_best, idx_best, hit_acc
 
-        def group_c(i, carry):
-            t_best, idx_best, hit_acc = carry
+        @pl.when(n_live > 0)
+        def _():
+            feat = _feat48(rays)
 
-            @pl.when(i + 1 < n_live)
-            def _():
-                start_copy(i + 1, (i + 1) % 2)
+            def group_c(i, carry):
+                t_best, idx_best, hit_acc = carry
 
-            wait_copy(i % 2)
-            g = list_ref[i, b] if use_worklist else i
-            prod = _dot48(feat, buf_ref[i % 2])
-            return sweep_cols(prod, g, t_best, idx_best, hit_acc)
+                @pl.when(i + 1 < n_live)
+                def _():
+                    start_copy(i + 1, (i + 1) % 2)
 
-        init = (jnp.full((BR,), INF, jnp.float32),
-                jnp.full((BR,), -1, jnp.int32),
-                jnp.zeros((BR, CT) if any_hit else (BR,), jnp.float32))
-        t_best, idx_best, hit_acc = jax.lax.fori_loop(
-            0, n_live, group_c, init)
-        if any_hit:
-            flag = jnp.max(hit_acc, axis=1)
-            idx_ref[0, :] = jnp.where(flag > 0.0, 1, -1).astype(jnp.int32)
-        else:
-            t_ref[0, :] = jnp.where(live0, t_best, 0.0)
-            idx_ref[0, :] = idx_best
+                wait_copy(i % 2)
+                g = list_ref[i, b] if use_worklist else i
+                prod = _dot48(feat, buf_ref[i % 2])
+                return sweep_cols(prod, g, t_best, idx_best, hit_acc)
+
+            init = (jnp.full((BR,), INF, jnp.float32),
+                    jnp.full((BR,), -1, jnp.int32),
+                    jnp.zeros((BR, CT) if any_hit else (BR,), jnp.float32))
+            t_best, idx_best, hit_acc = jax.lax.fori_loop(
+                0, n_live, group_c, init)
+            if any_hit:
+                flag = jnp.max(hit_acc, axis=1)
+                idx_ref[0, :] = jnp.where(flag > 0.0, 1,
+                                          -1).astype(jnp.int32)
+            else:
+                t_ref[0, :] = jnp.where(live0, t_best, 0.0)
+                idx_ref[0, :] = idx_best
         return
 
-    def group(i, carry):
+    def group(i, feat):
+        # feat rides the loop CARRY (not a closure) so its [48, BR]
+        # build can live under the caller's pl.when(n_live > 0) gate
         @pl.when(done_ref[0] == 0)
         def _():
             @pl.when(i + 1 < n_live)
@@ -1014,13 +1028,14 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
 
                 done_ref[0] = jnp.where(term, 2, 0).astype(jnp.int32)
 
-        return carry
+        return feat
 
-    jax.lax.fori_loop(0, n_live, group, jnp.int32(0))
-
-    if matrix_best and not any_hit:
-        @pl.when(n_live > 0)
-        def _():
+    @pl.when(n_live > 0)
+    def _():
+        if matrix_best and not any_hit:
+            init_mat()
+        jax.lax.fori_loop(0, n_live, group, _feat48(rays))
+        if matrix_best and not any_hit:
             finalize_mat()
 
 
@@ -1611,9 +1626,16 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
     # round-trips cost ~30% per unit even when it never fires
     # (ucb_kern --bunny random rays), so it only pays when worklists are
     # LONG enough that coherent blocks can skip most of theirs
-    early = (use_worklist
-             and num_units >= int(os.environ.get("TPU_RT_EARLY_MIN", "64"))
-             and os.environ.get("TPU_RT_EARLY", "1") != "0")
+    early = (num_units >= int(os.environ.get("TPU_RT_EARLY_MIN", "64"))
+             and os.environ.get("TPU_RT_EARLY", "1") != "0"
+             and (use_worklist
+                  # the any-hit all-occluded exit needs only the SMEM
+                  # done flag, not entry-sorted worklists: keep it under
+                  # TPU_RT_NO_WORKLIST for the resident kernel (layout
+                  # order still finds near occluders spatially-coherent
+                  # early). mxus' early path stays worklist-gated - its
+                  # DMA drain protocol assumes entry-sorted lists.
+                  or (any_hit and mode.startswith("any"))))
     extra_args = ()
     extra_specs = []
     scratch_shapes = []
@@ -2007,6 +2029,18 @@ def trace_instanced_pallas(obj_planes, obj_gaabb, inst_affine_inv,
             f"instanced sweep window [BR={BR}, {4 * CT * grp}] exceeds the"
             f" 8.4 MB VMEM fault envelope; lower TPU_RT_BR (<= "
             f"{512 * 8 // grp}) - grp={grp} is fixed at pack time")
+    tp_obj = obj_planes.shape[2]
+    if tp_obj > MXUF_MAX_TP and jax.default_backend() == "tpu":
+        # the instanced kernel pins the whole per-mesh coef block in
+        # VMEM (there is no streamed instanced variant); past the
+        # validated residency cap refuse loudly instead of risking a
+        # Mosaic VMEM oversubscription fault (builder instancing="on"
+        # can request this - "auto" never does)
+        raise ValueError(
+            f"instanced scene's unique meshes pack to {tp_obj} triangle"
+            f" slots > the {MXUF_MAX_TP} VMEM-residency cap of the"
+            f" instanced kernel; build with instancing='auto'/'off'"
+            f" (flattened scenes stream from HBM instead)")
     r = ray_o.shape[0]
     rp = max(((r + BR - 1) // BR) * BR, BR)
     rays = _rays_padded(ray_o, ray_d, t_min, t_max, active, r, rp)
