@@ -872,46 +872,50 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
             finalize_mat()
         return
 
+    def sweep_cols(prod, g, t_best, idx_best, hit_acc):
+        """ONE shared MT window-test block for the carry loop AND the
+        early-termination loop (any_hit is a static python branch, so
+        each kernel instance traces exactly one side; the unused
+        operands of the other side are dead at trace time)."""
+        for k in range(grp):
+            o = k * 4 * CT
+            det = prod[:, o:o + CT]
+            u_n = prod[:, o + CT:o + 2 * CT]
+            v_n = prod[:, o + 2 * CT:o + 3 * CT]
+            t_n = prod[:, o + 3 * CT:o + 4 * CT]
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            d_abs = det * sgn
+            ok = d_abs > _MT_EPS
+            u2 = u_n * sgn
+            v2 = v_n * sgn
+            if any_hit:
+                tn2 = t_n * sgn
+                hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
+                       & (u2 + v2 <= d_abs)
+                       & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
+                # elementwise [BR, CT] accumulation; reduced ONCE
+                # after the loop (see _mt_kernel_any)
+                hit_acc = jnp.maximum(hit_acc, jnp.where(hit, 1.0, 0.0))
+            else:
+                t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
+                hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
+                       & (u2 + v2 <= d_abs)
+                       & (t_val > t_min) & (t_val < t_max)
+                       & (t_val < t_best[:, None]))
+                t_cand = jnp.where(hit, t_val, INF)
+                best_lane = jnp.argmin(t_cand, axis=1)
+                t_new = jnp.min(t_cand, axis=1)
+                improved = t_new < t_best
+                t_best = jnp.where(improved, t_new, t_best)
+                idx_best = jnp.where(
+                    improved, (g * grp + k) * CT + best_lane, idx_best)
+        return t_best, idx_best, hit_acc
+
     if not early:
         # CARRY-based loop (no per-unit ref round-trips / scalar branch -
         # those cost ~60% per unit when termination never fires, measured
         # on random rays, scripts/ucb_mxus.py r3). Short worklists take
         # this path; long entry-sorted ones take the early path below.
-        def sweep_cols(prod, g, t_best, idx_best, hit_acc):
-            for k in range(grp):
-                o = k * 4 * CT
-                det = prod[:, o:o + CT]
-                u_n = prod[:, o + CT:o + 2 * CT]
-                v_n = prod[:, o + 2 * CT:o + 3 * CT]
-                t_n = prod[:, o + 3 * CT:o + 4 * CT]
-                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-                d_abs = det * sgn
-                ok = d_abs > _MT_EPS
-                u2 = u_n * sgn
-                v2 = v_n * sgn
-                if any_hit:
-                    tn2 = t_n * sgn
-                    hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
-                           & (u2 + v2 <= d_abs)
-                           & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
-                    # elementwise [BR, CT] accumulation; reduced ONCE
-                    # after the loop (see _mt_kernel_any)
-                    hit_acc = jnp.maximum(hit_acc, jnp.where(hit, 1.0, 0.0))
-                else:
-                    t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
-                    hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
-                           & (u2 + v2 <= d_abs)
-                           & (t_val > t_min) & (t_val < t_max)
-                           & (t_val < t_best[:, None]))
-                    t_cand = jnp.where(hit, t_val, INF)
-                    best_lane = jnp.argmin(t_cand, axis=1)
-                    t_new = jnp.min(t_cand, axis=1)
-                    improved = t_new < t_best
-                    t_best = jnp.where(improved, t_new, t_best)
-                    idx_best = jnp.where(
-                        improved, (g * grp + k) * CT + best_lane, idx_best)
-            return t_best, idx_best, hit_acc
-
         @pl.when(n_live > 0)
         def _():
             feat = _feat48(rays)
@@ -957,24 +961,10 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
             if any_hit:
                 prev = jnp.where(idx_ref[0, :] > 0, 1.0, 0.0)
                 acc_mat = jnp.broadcast_to(prev[:, None], (BR, CT))
-                for k in range(grp):
-                    o = k * 4 * CT
-                    det = prod[:, o:o + CT]
-                    u_n = prod[:, o + CT:o + 2 * CT]
-                    v_n = prod[:, o + 2 * CT:o + 3 * CT]
-                    t_n = prod[:, o + 3 * CT:o + 4 * CT]
-                    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-                    d_abs = det * sgn
-                    ok = d_abs > _MT_EPS
-                    u2 = u_n * sgn
-                    v2 = v_n * sgn
-                    tn2 = t_n * sgn
-                    hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
-                           & (u2 + v2 <= d_abs)
-                           & (tn2 > t_min * d_abs) & (tn2 < t_max * d_abs))
-                    # elementwise accumulation; ONE reduce per unit (the
-                    # termination flag needs the per-lane value)
-                    acc_mat = jnp.maximum(acc_mat, jnp.where(hit, 1.0, 0.0))
+                # ONE reduce per unit (the termination flag needs the
+                # per-lane value)
+                _, _, acc_mat = sweep_cols(
+                    prod, g, jnp.float32(0.0), jnp.int32(0), acc_mat)
                 hit_acc = jnp.max(acc_mat, axis=1)
                 idx_ref[0, :] = jnp.where(
                     hit_acc > 0.0, 1, -1).astype(jnp.int32)
@@ -986,31 +976,8 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
                 ray_ok = jnp.max(jnp.where(okm, 1.0, 0.0), axis=1)
                 term = jnp.min(ray_ok) > 0.0
             else:
-                t_best = t_ref[0, :]
-                idx_best = idx_ref[0, :]
-                for k in range(grp):
-                    o = k * 4 * CT
-                    det = prod[:, o:o + CT]
-                    u_n = prod[:, o + CT:o + 2 * CT]
-                    v_n = prod[:, o + 2 * CT:o + 3 * CT]
-                    t_n = prod[:, o + 3 * CT:o + 4 * CT]
-                    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-                    d_abs = det * sgn
-                    ok = d_abs > _MT_EPS
-                    u2 = u_n * sgn
-                    v2 = v_n * sgn
-                    t_val = (t_n * sgn) / jnp.where(ok, d_abs, 1.0)
-                    hit = (ok & (u2 >= 0.0) & (v2 >= 0.0)
-                           & (u2 + v2 <= d_abs)
-                           & (t_val > t_min) & (t_val < t_max)
-                           & (t_val < t_best[:, None]))
-                    t_cand = jnp.where(hit, t_val, INF)
-                    best_lane = jnp.argmin(t_cand, axis=1)
-                    t_new = jnp.min(t_cand, axis=1)
-                    improved = t_new < t_best
-                    t_best = jnp.where(improved, t_new, t_best)
-                    idx_best = jnp.where(
-                        improved, (g * grp + k) * CT + best_lane, idx_best)
+                t_best, idx_best, _ = sweep_cols(
+                    prod, g, t_ref[0, :], idx_ref[0, :], jnp.float32(0.0))
                 t_ref[0, :] = t_best
                 idx_ref[0, :] = idx_best
                 nxt = entry_ref[jnp.minimum(i + 1, num_groups - 1), b]
