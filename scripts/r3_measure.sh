@@ -57,9 +57,6 @@ run 08_headline_tapbatch      TPU_RT_TAP_BATCH=1 python bench.py
 run 08b_headline_gather_t     TPU_RT_GATHER_T=1 python bench.py
 run 08c_headline_histquad     TPU_RT_HIST_QUAD=1 python bench.py
 run 08d_headline_nolastskip   TPU_RT_LAST_SKIP=0 python bench.py
-run 09_headline_br2048        TPU_RT_BR=2048 python bench.py
-run 10_headline_br2048_mxuv1  TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv1 python bench.py
-run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py
 run 12_mxus_grpcull           TPU_RT_GRP_CULL=1 python scripts/ucb_mxus.py
 run 13_config3_default        python bench.py --config 3
 run 14_profile_default        python scripts/ucb_profile.py --frames 3
@@ -71,6 +68,12 @@ run 15_config1                python bench.py --config 1
 run 16_config2                python bench.py --config 2
 run 17_config4                python bench.py --config 4
 run 18_config5                python bench.py --config 5
+# BR escalation probes the edge of the VMEM fault envelope - run them
+# only after every default-BR number is already on disk (a fault here
+# wedges the tunnel; steps below it are already the risky tail)
+run 09_headline_br2048        TPU_RT_BR=2048 python bench.py
+run 10_headline_br2048_mxuv1  TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv1 python bench.py
+run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py
 run 19_config6_LAST           python bench.py --config 6
 # gallery artifact (same workload class as config 6; aborts with it if
 # the streamed sweep wedges the tunnel). Too slow for CPU (>28 min).
