@@ -44,3 +44,22 @@ def test_static_dedup_matches_full_replay():
     assert dedup_rays[0] == base_rays[0]
     assert all(d < b for d, b in zip(dedup_rays[1:], base_rays[1:])), (
         dedup_rays, base_rays)
+
+
+def test_gb_reuse_matches_compute(trace_env):
+    """TPU_RT_GB_REUSE=1: under static_ok the G-buffer is reused from
+    FrameState instead of re-traced (render_gbuffer is deterministic in
+    (scene, camera); pack/unpack roundtrips exactly), so the image must
+    match the compute-always default and primary rays drop from the
+    honest query count."""
+    trace_env.setenv("TPU_RT_GB_REUSE", "1")
+    reuse, reuse_rays = _run(lambda f: f > 0)
+    trace_env.delenv("TPU_RT_GB_REUSE")
+    base, base_rays = _run(lambda f: f > 0)
+    for f in range(FRAMES):
+        np.testing.assert_allclose(reuse[f], base[f], atol=2e-5,
+                                   err_msg=f"frame {f}")
+    assert reuse_rays[0] == base_rays[0]
+    n_primary = W * H
+    for rr, br in zip(reuse_rays[1:], base_rays[1:]):
+        assert rr == br - n_primary, (reuse_rays, base_rays)

@@ -56,8 +56,30 @@ def render_band(scene, camera, frame_count, state, ctx, make_view,
     width, height = ctx["width"], ctx["height"]
     n_primary = ctx["band_h"] * width
     big = n_primary > 4 * 1024 * 1024
-    gb = gbuffer_ops.render_gbuffer(scene, camera, width, height,
-                                    y0=ctx["y0"], band_h=ctx["band_h"])
+
+    def _gb_compute(_):
+        return gbuffer_ops.render_gbuffer(scene, camera, width, height,
+                                          y0=ctx["y0"], band_h=ctx["band_h"])
+
+    def _gb_reuse(_):
+        # static_ok asserts camera AND scene unchanged, so the G-buffer
+        # is bit-identical to last frame's (render_gbuffer is
+        # deterministic in (scene, camera) - no RNG); pack_gb/unpack_gb
+        # roundtrip exactly. Same determinism argument as replay dedup.
+        return gbuffer_ops.unpack_gb(state["gb"])
+
+    # OPT-IN (TPU_RT_GB_REUSE=1, trace-time): the reuse branch replaces
+    # a primary sweep + hit-attribute fetch with an unpack whose
+    # per-column slices are themselves layout transposes (PERF.md) -
+    # net win unmeasured on-chip, so the default stays compute-always.
+    import os
+    if os.environ.get("TPU_RT_GB_REUSE", "0") != "1" \
+            or (isinstance(static_ok, bool) and not static_ok):
+        gb = _gb_compute(None)
+        gb_traced = None
+    else:
+        gb_traced = jnp.asarray(static_ok, jnp.bool_)
+        gb = jax.lax.cond(gb_traced, _gb_reuse, _gb_compute, None)
     # gb + reservoir rows ride ONE BandView so every neighbor tap is a
     # single wide-row gather (temporal reprojection, spatial disk taps)
     if make_view2 is not None and big:
@@ -87,7 +109,10 @@ def render_band(scene, camera, frame_count, state, ctx, make_view,
     new_state = {"gb": gb_packed,
                  "res": restir_ops.pack_reservoirs(reservoirs_s),
                  "accum": accum}
-    aux = {"rays": jnp.float32(n_primary) + rays_t + rays_s, **diag}
+    # honest query count: reused-G-buffer frames trace no primary rays
+    primary_rays = (jnp.float32(n_primary) if gb_traced is None
+                    else jnp.where(gb_traced, 0.0, jnp.float32(n_primary)))
+    aux = {"rays": primary_rays + rays_t + rays_s, **diag}
     return ldr, hdr, new_state, aux
 
 
