@@ -58,6 +58,10 @@ run 08b_headline_gather_t     TPU_RT_GATHER_T=1 python bench.py
 run 08c_headline_histquad     TPU_RT_HIST_QUAD=1 python bench.py
 run 08d_headline_nolastskip   TPU_RT_LAST_SKIP=0 python bench.py
 run 08e_headline_gbreuse      TPU_RT_GB_REUSE=1 python bench.py
+# pre-planned everything-on combo: if the individual A/Bs above are
+# positive they are most likely composable - this records the composed
+# headline without waiting for a by-hand follow-up run
+run 08f_headline_combo_all    TPU_RT_KERNEL=mxuv2 TPU_RT_OHG=1 TPU_RT_HIST_QUAD=1 TPU_RT_GATHER_T=1 TPU_RT_GB_REUSE=1 python bench.py
 run 12_mxus_grpcull           TPU_RT_GRP_CULL=1 python scripts/ucb_mxus.py
 run 13_config3_default        python bench.py --config 3
 run 14_profile_default        python scripts/ucb_profile.py --frames 3
