@@ -43,16 +43,15 @@ summary() {
     done
   } | tee /tmp/r3m/SUMMARY
 }
+# Headline A/B benches FIRST (the gate-flip decisions); the slower
+# ucb kernel/mxus sweep scripts follow - if the chip returns late in
+# the round, the decision-relevant numbers land before the deadline.
 run 00_headline_default       python bench.py
-run 01_kern_cornell           python scripts/ucb_kern.py
-run 02_kern_bunny             python scripts/ucb_kern.py --bunny
 run 03_headline_mxuv          TPU_RT_KERNEL=mxuv2 python bench.py
 run 04_headline_ohg           TPU_RT_OHG=1 python bench.py
 run 05_headline_combo         TPU_RT_KERNEL=mxuv2 TPU_RT_OHG=1 python bench.py
 run 05b_headline_noworklist   TPU_RT_NO_WORKLIST=1 python bench.py
 run 05c_headline_nwl_mxuv     TPU_RT_NO_WORKLIST=1 TPU_RT_KERNEL=mxuv2 python bench.py
-run 06_mxus_default           python scripts/ucb_mxus.py
-run 07_mxus_matrix            TPU_RT_MXUS_V=1 python scripts/ucb_mxus.py
 run 08_headline_tapbatch      TPU_RT_TAP_BATCH=1 python bench.py
 run 08b_headline_gather_t     TPU_RT_GATHER_T=1 python bench.py
 run 08c_headline_histquad     TPU_RT_HIST_QUAD=1 python bench.py
@@ -62,6 +61,10 @@ run 08e_headline_gbreuse      TPU_RT_GB_REUSE=1 python bench.py
 # positive they are most likely composable - this records the composed
 # headline without waiting for a by-hand follow-up run
 run 08f_headline_combo_all    TPU_RT_KERNEL=mxuv2 TPU_RT_OHG=1 TPU_RT_HIST_QUAD=1 TPU_RT_GATHER_T=1 TPU_RT_GB_REUSE=1 python bench.py
+run 01_kern_cornell           python scripts/ucb_kern.py
+run 02_kern_bunny             python scripts/ucb_kern.py --bunny
+run 06_mxus_default           python scripts/ucb_mxus.py
+run 07_mxus_matrix            TPU_RT_MXUS_V=1 python scripts/ucb_mxus.py
 run 12_mxus_grpcull           TPU_RT_GRP_CULL=1 python scripts/ucb_mxus.py
 run 13_config3_default        python bench.py --config 3
 run 14_profile_default        python scripts/ucb_profile.py --frames 3
