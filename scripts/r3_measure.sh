@@ -81,6 +81,10 @@ run 18_config5                python bench.py --config 5
 # wedges the tunnel; steps below it are already the risky tail)
 run 09_headline_br2048        TPU_RT_BR=2048 python bench.py
 run 10_headline_br2048_mxuv1  TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv1 python bench.py
+# config 4 is 1080p (8x the headline's rays -> 8x the programs/sweep at
+# a given BR); its best block size may sit above the headline's 1024 -
+# probe it once BR=2048 has proven safe on the headline step above
+run 10b_config4_br2048        TPU_RT_BR=2048 python bench.py --config 4
 run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py
 run 19_config6_LAST           python bench.py --config 6
 # gallery artifact (same workload class as config 6; aborts with it if
