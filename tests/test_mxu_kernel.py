@@ -393,3 +393,35 @@ def test_no_worklist_matches_default(trace_env):
         any_hit=True)
     assert ((np.asarray(ref_any["tri"]) >= 0)
             == (np.asarray(out_any_e["tri"]) >= 0)).all()
+
+
+def test_grp_cull_matches_chunk_cull(trace_env):
+    """TPU_RT_GRP_CULL=1 slab-tests group-union AABBs instead of per-chunk
+    AABBs (pallas_trace.py:1445). A group's union contains every member
+    chunk, so group culling is conservative: worklists may be looser,
+    never tighter, and the swept winner must agree with the per-chunk
+    default (up to exact-t ties, as elsewhere)."""
+    rng = np.random.default_rng(31)
+    t = pallas_trace.MXUF_MAX_TP + pallas_trace.CT   # beyond VMEM -> mxus
+    v0 = rng.standard_normal((t, 3)).astype(np.float32) * 3
+    e1 = rng.standard_normal((t, 3)).astype(np.float32) * 0.3
+    e2 = rng.standard_normal((t, 3)).astype(np.float32) * 0.3
+    planes, aabb, _ = pallas_trace.pack_triangles(v0, e1, e2)
+    planes, aabb = jnp.asarray(planes), jnp.asarray(aabb)
+
+    r = 640
+    ro = jnp.asarray(rng.standard_normal((r, 3)).astype(np.float32) * 4)
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    base = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3,
+                                           50.0, kernel="mxuf2")  # grp > 1
+    trace_env.setenv("TPU_RT_GRP_CULL", "1")
+    cull = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3,
+                                           50.0, kernel="mxuf2")
+    bt, ct_ = np.asarray(base["tri"]), np.asarray(cull["tri"])
+    assert ((bt >= 0) == (ct_ >= 0)).all()
+    np.testing.assert_allclose(np.asarray(base["t"]), np.asarray(cull["t"]),
+                               rtol=1e-6)
+    both = (bt >= 0) & (ct_ >= 0)
+    assert (bt[both] == ct_[both]).mean() > 0.99
