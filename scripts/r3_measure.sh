@@ -68,6 +68,10 @@ run 07_mxus_matrix            TPU_RT_MXUS_V=1 python scripts/ucb_mxus.py
 run 12_mxus_grpcull           TPU_RT_GRP_CULL=1 python scripts/ucb_mxus.py
 run 13_config3_default        python bench.py --config 3
 run 14_profile_default        python scripts/ucb_profile.py --frames 3
+# per-stage profile under the combo gates too: PERF.md needs a fresh
+# per-stage table for whatever defaults get flipped, and a short chip
+# window may not allow a by-hand follow-up pass
+run 14b_profile_combo         TPU_RT_KERNEL=mxuv2 TPU_RT_OHG=1 TPU_RT_HIST_QUAD=1 TPU_RT_GATHER_T=1 python scripts/ucb_profile.py --frames 3
 # BASELINE configs with committed defaults (gate flips re-run by hand
 # from the A/B results above). Config 6 is DEAD LAST: its dense-knot
 # streamed sweep is what faulted pre-fix - if it wedges the tunnel,
