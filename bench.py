@@ -36,7 +36,7 @@ def _measure_restir(scene, width, height, warmup, measured, move=False,
 
     cam = camera_mod.CameraController()
     state = pipeline.init_state(width, height)
-    total_rays = 0.0
+    ray_counts = []               # device scalars; converted AFTER the clock
     t0 = None
     frame_count = 0
     for i in range(warmup + measured):
@@ -60,9 +60,16 @@ def _measure_restir(scene, width, height, warmup, measured, move=False,
             jax.block_until_ready(ldr)
             t0 = time.time()
         elif i >= warmup:
-            total_rays += float(aux["rays"])
+            # keep the exact per-frame ray counter as a DEVICE scalar: a
+            # float() here would block on the frame, and over the axon
+            # tunnel that host sync costs a full RTT per frame and stops
+            # successive frames from pipelining (async dispatch is the
+            # product behavior - app/interactive.py reads telemetry a
+            # frame late for the same reason)
+            ray_counts.append(aux["rays"])
     jax.block_until_ready(ldr)
     dt = time.time() - t0
+    total_rays = sum(float(x) for x in ray_counts)
     return {"fps": measured / dt, "mrays": total_rays / dt / 1e6,
             "ms_per_frame": dt / measured * 1e3}
 
@@ -255,6 +262,18 @@ def config(n: int):
         out = {"config": 6, "fps": round(r["fps"], 3),
                "tris": scene.num_triangles,
                "mrays_per_s": round(r["mrays"], 2)}
+    elif n == 7:
+        # shared-BLAS two-level instancing on the device (VERDICT r3 item
+        # 6): 100 instances of one ~5k-tri mesh through
+        # trace_instanced_pallas (one object-space coef block + per
+        # -instance inverse affines; src/scene/builder.rs:181-189
+        # economics). Compare against config 3's flattened dense path.
+        scene = scenes.create_instancing_gallery_scene()
+        r = _measure_restir(scene, 512, 512, 2, 4)
+        out = {"config": 7, "fps": round(r["fps"], 3),
+               "tris": scene.num_triangles,
+               "instanced": bool(scene.instanced),
+               "mrays_per_s": round(r["mrays"], 2)}
     else:
         raise SystemExit(f"unknown config {n}")
     print(json.dumps(out))
@@ -291,8 +310,8 @@ def _backend_watchdog(timeout_s: float = 600.0):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=0,
-                    help="BASELINE config 1-5 (+6: dense textured knot); "
-                         "default: driver headline")
+                    help="BASELINE config 1-5 (+6: dense textured knot, "
+                         "+7: instanced gallery); default: driver headline")
     ap.add_argument("--tiles", type=int, default=0,
                     help="run the headline sharded over N devices")
     args = ap.parse_args()

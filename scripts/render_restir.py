@@ -37,6 +37,10 @@ def main():
         "bunny": scenes.create_bunny_scene,
         "knot": scenes.create_dense_knot_scene,
         "gallery": scenes.create_instancing_gallery_scene,
+        "avocado": scenes.create_avocado_scene,
+        "helmet": scenes.create_damaged_helmet_scene,
+        "vrm": scenes.create_multi_material_model_scene,
+        "truffle": scenes.create_chocolate_truffle_scene,
     }[args.scene]()
     print(f"scene: {time.time()-t0:.1f}s tris={scene.num_triangles} lights={scene.num_lights}")
 

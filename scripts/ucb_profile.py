@@ -24,36 +24,71 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--width", type=int, default=0)
+    ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--config4", action="store_true",
+                    help="profile the BASELINE config-4 flow: 1920x1080, "
+                         "camera motion + crystal refit + accumulation "
+                         "reset every frame (bench.py config 4)")
     args = ap.parse_args()
 
+    import numpy as np
+
     from tpu_raytracer.models import scenes
+    from tpu_raytracer.ops import refit as refit_ops
     from tpu_raytracer.render import camera as camera_mod
     from tpu_raytracer.render import pipeline, renderer
+    from tpu_raytracer.utils.math3d import rotation_y, scale, translation
 
     scene = getattr(scenes, {
         "cornell": "create_cornell_box",
         "bunny": "create_bunny_scene",
         "restir": "create_restir_scene",
     }[args.scene])()
-    w = h = args.size
+    if args.config4:
+        w = args.width or 1920
+        h = args.height or 1080
+    else:
+        w = args.width or args.size
+        h = args.height or args.size
+    base = np.asarray(scene.inst_transform)
+
+    def wobble(i):
+        tf = base.copy()
+        crystal = (translation([0.4, -0.5 + 0.02 * (i % 8), 0.3])
+                   @ rotation_y(0.1 * i) @ scale(0.5))
+        tf[6] = crystal[:3, :4]
+        return jnp.asarray(tf)
+
     cam = camera_mod.CameraController()
     state = pipeline.init_state(w, h)
-    for f in range(3):
-        u = renderer.camera_to_device(cam.uniform(1.0, f, scene.num_lights))
+
+    def step(scene, i, state):
+        if args.config4:
+            cam.press("d")
+            cam.update(1.0 / 60.0)
+            cam.release("d")
+            scene = refit_ops.update_instances(scene, wobble(i),
+                                               changed=(6,))
+        fc = 0 if args.config4 else i
+        u = renderer.camera_to_device(
+            cam.uniform(w / h, fc, scene.num_lights))
         ldr, hdr, state, aux = pipeline.render_frame(
-            scene, u, jnp.uint32(f), state, w, h, static_ok=f > 0)
+            scene, u, jnp.uint32(fc), state, w, h,
+            static_ok=(not args.config4) and i > 0)
+        return scene, ldr, state
+
+    for f in range(3):
+        scene, ldr, state = step(scene, f, state)
     jax.block_until_ready(ldr)
 
     shutil.rmtree("/tmp/rt_trace", ignore_errors=True)
     with jax.profiler.trace("/tmp/rt_trace"):
         for f in range(3, 3 + args.frames):
-            u = renderer.camera_to_device(
-                cam.uniform(1.0, f, scene.num_lights))
-            ldr, hdr, state, aux = pipeline.render_frame(
-                scene, u, jnp.uint32(f), state, w, h, static_ok=True)
+            scene, ldr, state = step(scene, f, state)
         jax.block_until_ready(ldr)
 
     path = sorted(glob.glob("/tmp/rt_trace/**/*.trace.json.gz",

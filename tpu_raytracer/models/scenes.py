@@ -6,6 +6,8 @@ identical to the reference (T * R * S applied to column vectors).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..scene.builder import SceneBuilder
@@ -217,8 +219,26 @@ def create_gltf_scene(path: str, scale_factor: float = 1.0,
     return b.build()
 
 
-def create_avocado_scene(path: str = "assets/models/Avocado.glb"):
+def _asset_path(canonical: str, procedural_name: str) -> str:
+    """The reference's downloaded asset if present (cwd-relative or under
+    assets/models/), else the generated deterministic procedural
+    equivalent (models/procedural_assets.py) - LOUDLY, so a named scene
+    never silently degrades to the empty floor+light fallback."""
+    from .procedural_assets import MODELS_DIR, ensure_asset
+
+    for cand in (canonical,
+                 os.path.join(MODELS_DIR, os.path.basename(canonical))):
+        if os.path.exists(cand):
+            return cand
+    path = ensure_asset(procedural_name)
+    print(f"{canonical} not found; using procedural stand-in {path}")
+    return path
+
+
+def create_avocado_scene(path: str = None):
     """scenes.rs:321-332: the Avocado glb at 20x on the floor."""
+    if path is None:
+        path = _asset_path("assets/models/Avocado.glb", "avocado")
     return create_gltf_scene(
         path,
         model_transform=translation([0, 0, 0]) @ scale(20.0),
@@ -226,8 +246,10 @@ def create_avocado_scene(path: str = "assets/models/Avocado.glb"):
                          @ scale(1.0)))
 
 
-def create_damaged_helmet_scene(path: str = "assets/models/DamagedHelmet.glb"):
+def create_damaged_helmet_scene(path: str = None):
     """scenes.rs:334-347: DamagedHelmet rotated upright (Rx(pi/2))."""
+    if path is None:
+        path = _asset_path("assets/models/DamagedHelmet.glb", "helmet")
     return create_gltf_scene(
         path,
         model_transform=(translation([0, 0, 0]) @ rotation_x(PI / 2)
@@ -236,9 +258,10 @@ def create_damaged_helmet_scene(path: str = "assets/models/DamagedHelmet.glb"):
                          @ scale(1.0)))
 
 
-def create_multi_material_model_scene(
-        path: str = "assets/models/AliciaSolid.vrm"):
+def create_multi_material_model_scene(path: str = None):
     """scenes.rs:349-365: VRM avatar at 0.5x facing the camera (Ry(pi))."""
+    if path is None:
+        path = _asset_path("assets/models/AliciaSolid.vrm", "figure")
     return create_gltf_scene(
         path,
         model_transform=(translation([0, 0, 0]) @ scale(0.5)
@@ -264,17 +287,22 @@ def truffle_material_rewrite(mat) -> None:
         mat.roughness_ = 0.25
 
 
-def create_chocolate_truffle_scene(
-        path: str = "assets/models/gift_wrapped_chocolate_3d_model.glb"):
+def create_chocolate_truffle_scene(path: str = None):
     """scenes.rs:367-504: the reference's showcase scene.
 
     Obsidian-table floor, luminance-rewritten glTF materials, and a
     3-sphere-light studio (warm key x80, red rim x40, blue fill x10).
     Load failure falls back to the avocado scene (scenes.rs:496-500),
-    whose own fallback is the floor+light scene.
+    whose own fallback is the floor+light scene. With no explicit path,
+    the generated procedural gift-wrapped chocolate stands in for the
+    reference's downloaded asset (its dark/bright base colors straddle
+    the rewrite's luminance threshold exactly like the original).
     """
     from ..scene.loader import load_gltf
 
+    if path is None:
+        path = _asset_path(
+            "assets/models/gift_wrapped_chocolate_3d_model.glb", "truffle")
     try:
         meshes, materials, images, mat_indices = load_gltf(path)
     except Exception as e:  # noqa: BLE001
