@@ -63,6 +63,10 @@ run 08e_headline_gbreuse      TPU_RT_GB_REUSE=1 python bench.py
 run 08f_headline_combo_all    TPU_RT_KERNEL=mxuv2 TPU_RT_OHG=1 TPU_RT_HIST_QUAD=1 TPU_RT_GATHER_T=1 TPU_RT_GB_REUSE=1 python bench.py
 run 01_kern_cornell           python scripts/ucb_kern.py
 run 02_kern_bunny             python scripts/ucb_kern.py --bunny
+# FIRST streamed-kernel contact is the tiny forced-early-exit canary
+# (VERDICT r3 item 2): the r3 DMA-drain fix is unprovable off-chip and
+# a fault here costs seconds of banked evidence, not the round
+run 05z_mxus_canary           python scripts/ucb_mxus_canary.py
 run 06_mxus_default           python scripts/ucb_mxus.py
 run 07_mxus_matrix            TPU_RT_MXUS_V=1 python scripts/ucb_mxus.py
 run 12_mxus_grpcull           TPU_RT_GRP_CULL=1 python scripts/ucb_mxus.py
@@ -79,6 +83,10 @@ run 14b_profile_combo         TPU_RT_KERNEL=mxuv2 TPU_RT_OHG=1 TPU_RT_HIST_QUAD=
 run 15_config1                python bench.py --config 1
 run 16_config2                python bench.py --config 2
 run 17_config4                python bench.py --config 4
+# per-stage profile of the config-4 flow itself (1080p, motion + crystal
+# refit + accum reset): the VERDICT r3 item-3 attack needs to know where
+# the 1080p moving frame actually goes, not the 512^2 static one
+run 17b_profile_config4       python scripts/ucb_profile.py --config4 --frames 3
 run 18_config5                python bench.py --config 5
 # BR escalation probes the edge of the VMEM fault envelope - run them
 # only after every default-BR number is already on disk (a fault here
@@ -90,9 +98,23 @@ run 10_headline_br2048_mxuv1  TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv1 python bench.py
 # probe it once BR=2048 has proven safe on the headline step above
 run 10b_config4_br2048        TPU_RT_BR=2048 python bench.py --config 4
 run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py
+# instanced-gallery bench (VERDICT r3 item 6: first on-chip number for
+# trace_instanced_pallas). A NEW kernel on-chip -> runs in the risky
+# tail, after every default-BR number is banked.
+run 18b_config7_instanced     python bench.py --config 7
 run 19_config6_LAST           python bench.py --config 6
 # gallery artifact (same workload class as config 6; aborts with it if
 # the streamed sweep wedges the tunnel). Too slow for CPU (>28 min).
 run 20_gallery_knot           python scripts/render_restir.py --scene knot --size 256 --frames 32 --out gallery/dense_knot_textured.png
+# showcase renders of the r4 procedural named-scene assets (real loader
+# path end-to-end); cheap scenes, but keep them after the banked numbers
+# beyond-512k intersector decision (swept coarse-cull path vs BVH walk
+# at ~983k tris; settles TPU_RT_BRUTE_MAX). A never-run-on-chip workload
+# size -> riskiest slot of all, DEAD LAST among kernels.
+run 25_bigscene_1M            python scripts/ucb_bigscene.py
+run 21_gallery_truffle        python scripts/render_restir.py --scene truffle --size 256 --frames 32 --out gallery/truffle_showcase.png
+run 22_gallery_vrm            python scripts/render_restir.py --scene vrm --size 256 --frames 32 --out gallery/vrm_figure.png
+run 23_gallery_helmet         python scripts/render_restir.py --scene helmet --size 256 --frames 32 --out gallery/damaged_helmet.png
+run 24_gallery_avocado        python scripts/render_restir.py --scene avocado --size 256 --frames 32 --out gallery/avocado.png
 summary
 echo "LADDER DONE $(date)" | tee /tmp/r3m/DONE

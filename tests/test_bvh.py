@@ -121,3 +121,30 @@ def test_empty_scene():
         jnp.zeros((4, 3)), jnp.asarray([[0, 0, 1.0]] * 4), 1e-3, 1e4,
     )
     assert (np.asarray(res["tri"]) == -1).all()
+
+
+def test_brute_max_routing_knob(trace_env):
+    """TPU_RT_BRUTE_MAX (trace_api._brute_max) reroutes the swept path
+    to the stream-BVH pointer walk at TRACE time; both intersectors must
+    agree on a real catalog scene so flipping the routing cap (from
+    scripts/ucb_bigscene.py numbers) can never change images beyond
+    exact-t ties."""
+    from tpu_raytracer.models import scenes
+    from tpu_raytracer.ops import trace_api
+
+    scene = scenes.create_cornell_box()
+    rng = np.random.default_rng(61)
+    r = 600
+    ro = jnp.asarray(rng.uniform(-0.8, 0.8, (r, 3)).astype(np.float32))
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    swept = trace_api.scene_trace(scene, ro, rd, 1e-3, 50.0)
+    trace_env.setenv("TPU_RT_BRUTE_MAX", "1")        # force the walk
+    walk = trace_api.scene_trace(scene, ro, rd, 1e-3, 50.0)
+    st, wt = np.asarray(swept["tri"]), np.asarray(walk["tri"])
+    assert ((st >= 0) == (wt >= 0)).all()
+    np.testing.assert_allclose(np.asarray(swept["t"]),
+                               np.asarray(walk["t"]), rtol=1e-5)
+    both = (st >= 0) & (wt >= 0)
+    assert (st[both] == wt[both]).mean() > 0.99

@@ -425,3 +425,76 @@ def test_grp_cull_matches_chunk_cull(trace_env):
                                rtol=1e-6)
     both = (bt >= 0) & (ct_ >= 0)
     assert (bt[both] == ct_[both]).mean() > 0.99
+
+
+def test_coarse_cull_matches_default(trace_env):
+    """COARSE culling (TPU_RT_CULL_UNITS): past the unit target, the
+    prepass slab-tests union AABBs of c kernel units and repeats the
+    entry matrix back to kernel granularity (pallas_trace.py
+    trace_brute_pallas). A union contains every member unit, so culling
+    is conservative and the swept winner must agree with the exact
+    per-unit default - closest-hit AND any-hit, windowed + dead lanes,
+    single-sweep AND segmented."""
+    rng = np.random.default_rng(53)
+    planes, aabb = _scene(rng, t=4000)      # 32 chunks -> 16 grp2 units
+    r = 900
+    ro = jnp.asarray(rng.standard_normal((r, 3)).astype(np.float32) * 3)
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+    t_max = jnp.asarray(rng.uniform(0.5, 20.0, (r,)).astype(np.float32))
+    active = jnp.asarray(rng.uniform(size=r) > 0.25)
+
+    ref = pallas_trace.trace_brute_pallas(planes, aabb, ro, rd, 1e-3, t_max,
+                                          kernel="mxuf2", active=active)
+    ref_any = pallas_trace.trace_brute_pallas(
+        planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuf2", active=active,
+        any_hit=True)
+    rt = np.asarray(ref["tri"])
+
+    trace_env.setenv("TPU_RT_CULL_UNITS", "2")      # force c = 8
+    for seg_cap in (None, "5"):
+        if seg_cap is not None:
+            trace_env.setenv("TPU_RT_SEG_CAP", seg_cap)
+            trace_env.setenv("TPU_RT_EARLY_MIN", "4")
+        out = pallas_trace.trace_brute_pallas(
+            planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuf2",
+            active=active)
+        ot = np.asarray(out["tri"])
+        assert ((rt >= 0) == (ot >= 0)).all(), seg_cap
+        np.testing.assert_allclose(np.asarray(ref["t"]),
+                                   np.asarray(out["t"]), rtol=1e-6)
+        both = (rt >= 0) & (ot >= 0)
+        assert (rt[both] == ot[both]).mean() > 0.99, seg_cap
+        assert not (ot[~np.asarray(active)] >= 0).any()
+        out_any = pallas_trace.trace_brute_pallas(
+            planes, aabb, ro, rd, 1e-3, t_max, kernel="mxuf2",
+            active=active, any_hit=True)
+        assert ((np.asarray(ref_any["tri"]) >= 0)
+                == (np.asarray(out_any["tri"]) >= 0)).all(), seg_cap
+
+
+def test_coarse_entry_is_conservative():
+    """The coarse entry matrix, repeated to kernel units, never exceeds
+    the exact per-unit entry where the exact prepass finds a hit (a
+    union AABB contains its members: the ray enters at or before any
+    member, and every member hit is a union hit)."""
+    rng = np.random.default_rng(59)
+    planes, aabb = _scene(rng, t=4000)      # 32 chunks
+    r = pallas_trace.BR                     # one block
+    ro = rng.standard_normal((r, 3)).astype(np.float32) * 3
+    rd = rng.standard_normal((r, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [ro.T, rd.T, np.full((1, r), 1e-3, np.float32),
+         np.full((1, r), 50.0, np.float32)], axis=0))   # [8, BR]
+    nc = aabb.shape[0]
+    grp, c = 2, 8
+    e_exact = pallas_trace._block_entry(rays, aabb, nc, 1, grp)
+    e_coarse = pallas_trace._block_entry(rays, aabb, nc, 1, grp * c,
+                                         force_union=True)
+    n_kernel = (nc + grp - 1) // grp
+    rep = np.asarray(jnp.repeat(e_coarse, c, axis=1)[:, :n_kernel])
+    ex = np.asarray(e_exact)
+    hit = ex < pallas_trace.INF
+    assert hit.any()
+    assert (rep[hit] <= ex[hit] + 1e-5).all()

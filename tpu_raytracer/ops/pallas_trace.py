@@ -1251,6 +1251,80 @@ def _mt_kernel(count_ref, list_ref, entry_ref, rays_ref, tri_ref, t_ref,
     idx_ref[0, :] = idx_best
 
 
+def _block_entry(rays, chunk_aabb, num_chunks, nb, grp, force_union=False):
+    """XLA worklist prepass: conservative per-(block, unit) entry distance.
+
+    Per-ray slab tests of every chunk AABB against each ray's live
+    (t_min, t_max) window, OR-reduced per BR-lane block: INF = no live
+    ray touches the unit (culled); otherwise the min entry t, which is
+    also the front-to-back sort key for the worklist (BVH-style ordered
+    traversal economics without per-ray walks). Because the slab test is
+    WINDOWED by t_max, bounded rays (NEE shadows carry t_max = light
+    distance; segmented sweeps chain each lane's best t) shorten the
+    worklists for free - pinned by tests/test_worklist_tbound.py.
+
+    LAYOUT: everything is [NC, nb, BR] - the MINOR dim is the full
+    BR-lane ray axis. The earlier [nb, BR, NC, 3] formulation had minor
+    dims 3 and NC that XLA:TPU pads to 128 lanes (~0.5 GB of
+    tile-padding traffic per 1M-ray call -> ~7.5 ms per traversal call,
+    the dominant per-depth glue of the bounce loops; PERF.md r3).
+    TPU_RT_GRP_CULL=1: slab-test GROUP union AABBs directly (grp x less
+    prepass work; slightly looser worklists - BVH-DFS order keeps group
+    unions tight). Worklists cull at group granularity either way.
+    `force_union=True` takes the union-AABB path unconditionally - the
+    COARSE culling caller (see trace_brute_pallas) passes grp far above
+    the kernel group width exactly to avoid the per-chunk slab cost, so
+    the exact chunk-min formulation would defeat it.
+
+    Returns e_blk [nb, NU] where NU = ceil(num_chunks / grp).
+    """
+    eps = 1e-12
+    aabb_src = chunk_aabb
+    grp_cull = (grp > 1
+                and (force_union
+                     or os.environ.get("TPU_RT_GRP_CULL", "0") == "1"))
+    if grp_cull:
+        ng = (num_chunks + grp - 1) // grp
+        pad = ng * grp - aabb_src.shape[0]
+        if pad:
+            empty = jnp.concatenate(
+                [jnp.full((pad, 3), INF, jnp.float32),
+                 jnp.full((pad, 3), -INF, jnp.float32),
+                 jnp.zeros((pad, 2), jnp.float32)], axis=1)
+            aabb_src = jnp.concatenate([aabb_src, empty], axis=0)
+        ca = aabb_src.reshape(ng, grp, 8)
+        aabb_src = jnp.concatenate(
+            [ca[:, :, 0:3].min(axis=1), ca[:, :, 3:6].max(axis=1),
+             jnp.zeros((ng, 2), jnp.float32)], axis=1)     # [NG, 8]
+    tmin_nb = rays[6].reshape(1, nb, BR)
+    tmax_nb = rays[7].reshape(1, nb, BR)
+    nc_u = aabb_src.shape[0]
+    t_lo = jnp.broadcast_to(tmin_nb, (nc_u, nb, BR))
+    t_hi = jnp.broadcast_to(tmax_nb, (nc_u, nb, BR))
+    for k in range(3):
+        d_k = rays[3 + k]
+        inv_k = (1.0 / jnp.where(jnp.abs(d_k) < eps,
+                                 jnp.where(d_k < 0, -eps, eps), d_k)
+                 ).reshape(1, nb, BR)
+        o_k = rays[k].reshape(1, nb, BR)
+        lo_k = (aabb_src[:, k][:, None, None] - o_k) * inv_k
+        hi_k = (aabb_src[:, k + 3][:, None, None] - o_k) * inv_k
+        t_lo = jnp.maximum(t_lo, jnp.minimum(lo_k, hi_k))
+        t_hi = jnp.minimum(t_hi, jnp.maximum(lo_k, hi_k))
+    ray_hit = (t_lo <= t_hi) & (tmax_nb > 0.0)             # [NC|NG, nb, BR]
+    e_blk = jnp.where(ray_hit, t_lo, INF).min(axis=2).T    # [nb, NC|NG]
+
+    if grp > 1 and not grp_cull:
+        # cull at group-of-chunks granularity (one worklist entry per dot)
+        ng = (num_chunks + grp - 1) // grp
+        pad = ng * grp - num_chunks
+        if pad:
+            e_blk = jnp.concatenate(
+                [e_blk, jnp.full((nb, pad), INF, jnp.float32)], axis=1)
+        e_blk = e_blk.reshape(nb, ng, grp).min(axis=2)     # [nb, NG]
+    return e_blk
+
+
 @functools.partial(jax.jit, static_argnames=("any_hit", "reorder", "kernel",
                                              "coef48_grp"))
 def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
@@ -1435,73 +1509,43 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
             coef48=coef48, coef48_grp=coef48_grp, num_units=n_units)
 
     # --- block-level chunk culling (cheap XLA pre-pass) ---
-    # per-ray slab tests against every chunk AABB, OR-reduced per block,
-    # compacted to a per-block chunk worklist (hits sorted first).
-    # LAYOUT: everything is [NC, nb, BR] - the MINOR dim is the full
-    # BR-lane ray axis. The earlier [nb, BR, NC, 3] formulation had
-    # minor dims 3 and NC that XLA:TPU pads to 128 lanes (~0.5 GB of
-    # tile-padding traffic per 1M-ray call -> ~7.5 ms per traversal
-    # call, the dominant per-depth glue of the bounce loops; PERF.md r3).
-    # TPU_RT_GRP_CULL=1: slab-test GROUP union AABBs directly (grp x less
-    # prepass work; slightly looser worklists - BVH-DFS order keeps group
-    # unions tight). Worklists cull at group granularity either way.
+    # COARSE culling: the prepass slab-tests O(units x rays), which at
+    # the kernel's group granularity grows linearly with triangles
+    # (~1.3 s/call at 1M tris, 262k rays - the old swept-path ceiling).
+    # When the kernel-unit count exceeds TPU_RT_CULL_UNITS, the prepass
+    # instead tests union AABBs of c kernel units at a time (c a power
+    # of two), bounding its cost at ANY triangle count, and the entry
+    # matrix is repeated back to kernel granularity - member units
+    # inherit their coarse unit's conservative entry, so the sort,
+    # counts, SMEM caps, and segmentation below are untouched. Culling
+    # is conservative (a union contains every member): worklists may be
+    # looser, never tighter; winner equality is pinned by
+    # tests/test_mxu_kernel.py::test_coarse_cull_matches_default.
     nb = rp // BR
-    eps = 1e-12
-    aabb_src = chunk_aabb
-    grp_cull = (grp > 1
-                and os.environ.get("TPU_RT_GRP_CULL", "0") == "1")
-    if grp_cull:
-        ng = (num_chunks + grp - 1) // grp
-        pad = ng * grp - aabb_src.shape[0]
-        if pad:
-            empty = jnp.concatenate(
-                [jnp.full((pad, 3), INF, jnp.float32),
-                 jnp.full((pad, 3), -INF, jnp.float32),
-                 jnp.zeros((pad, 2), jnp.float32)], axis=1)
-            aabb_src = jnp.concatenate([aabb_src, empty], axis=0)
-        ca = aabb_src.reshape(ng, grp, 8)
-        aabb_src = jnp.concatenate(
-            [ca[:, :, 0:3].min(axis=1), ca[:, :, 3:6].max(axis=1),
-             jnp.zeros((ng, 2), jnp.float32)], axis=1)     # [NG, 8]
-    tmin_nb = rays[6].reshape(1, nb, BR)
-    tmax_nb = rays[7].reshape(1, nb, BR)
-    nc_u = aabb_src.shape[0]
-    t_lo = jnp.broadcast_to(tmin_nb, (nc_u, nb, BR))
-    t_hi = jnp.broadcast_to(tmax_nb, (nc_u, nb, BR))
-    for k in range(3):
-        d_k = rays[3 + k]
-        inv_k = (1.0 / jnp.where(jnp.abs(d_k) < eps,
-                                 jnp.where(d_k < 0, -eps, eps), d_k)
-                 ).reshape(1, nb, BR)
-        o_k = rays[k].reshape(1, nb, BR)
-        lo_k = (aabb_src[:, k][:, None, None] - o_k) * inv_k
-        hi_k = (aabb_src[:, k + 3][:, None, None] - o_k) * inv_k
-        t_lo = jnp.maximum(t_lo, jnp.minimum(lo_k, hi_k))
-        t_hi = jnp.minimum(t_hi, jnp.maximum(lo_k, hi_k))
-    ray_hit = (t_lo <= t_hi) & (tmax_nb > 0.0)             # [NC|NG, nb, BR]
-    # conservative per-block entry distance: min over live rays (INF =
-    # no ray touches the chunk). Doubles as the hit mask AND the
-    # front-to-back sort key for the worklist (BVH-style ordered
-    # traversal economics without per-ray walks).
-    e_blk = jnp.where(ray_hit, t_lo, INF).min(axis=2).T    # [nb, NC|NG]
-
-    if grp > 1 and not grp_cull:
-        # cull at group-of-chunks granularity (one worklist entry per dot)
-        ng = (num_chunks + grp - 1) // grp
-        pad = ng * grp - num_chunks
-        if pad:
-            e_blk = jnp.concatenate(
-                [e_blk, jnp.full((nb, pad), INF, jnp.float32)], axis=1)
-        e_blk = e_blk.reshape(nb, ng, grp).min(axis=2)     # [nb, NG]
+    n_kernel_units = (num_chunks + grp - 1) // grp if grp > 1 else num_chunks
+    cull_target = max(1, int(os.environ.get("TPU_RT_CULL_UNITS", "1024")))
+    c = 1
+    while n_kernel_units > c * cull_target:
+        c *= 2
+    e_blk = _block_entry(rays, chunk_aabb, num_chunks, nb, grp * c,
+                         force_union=c > 1)
+    if c > 1:
+        e_blk = jnp.repeat(e_blk, c, axis=1)[:, :n_kernel_units]
     num_units_all = e_blk.shape[1]
     nb_pad = ((nb + 127) // 128) * 128
     cap_units = int(os.environ.get("TPU_RT_SEG_CAP", "0")) \
         or (512 * 1024) // (nb_pad * 8)
     # each segment is a full grid launch (nb programs x ~10 us floor), so
     # fragmenting into many segments loses to ONE unculled sweep; past 8
-    # segments (huge frame x huge scene) take the legacy no-worklist path
+    # segments (huge frame x huge scene) take the legacy no-worklist
+    # path. Under COARSE culling the economics invert - the prepass no
+    # longer grows with the scene, so chained front-to-back segments
+    # beat one full sweep far longer; the ceiling rises to 64 segments
+    # (TPU_RT_SEG_MAX overrides either way).
+    seg_max = int(os.environ.get("TPU_RT_SEG_MAX", "0")) \
+        or (8 if c == 1 else 64)
     if (num_units_all <= cap_units or dest is not None
-            or num_units_all > 8 * max(cap_units, 1)):
+            or num_units_all > seg_max * max(cap_units, 1)):
         # single sweep (dest-permuted streams can't chain t_max through
         # segments - they keep the legacy no-worklist fallback if huge)
         counts = (e_blk < INF).sum(axis=1).astype(jnp.int32)   # [nb]

@@ -29,11 +29,24 @@ def _use_pallas() -> bool:
 
 # Above this the swept path gives way to the BVH pointer walk. The
 # HBM-streamed kernel (pallas_trace "mxus") removes the VMEM residency
-# bound, and SEGMENTED worklists (t_max-chained sweeps over unit-id
-# ranges, pallas_trace.py) remove the SMEM worklist budget; the
-# remaining ceiling is the XLA slab-test prepass whose cost grows
+# bound, SEGMENTED worklists (t_max-chained sweeps over unit-id ranges,
+# pallas_trace.py) remove the SMEM worklist budget, and COARSE culling
+# (union-AABB prepass at TPU_RT_CULL_UNITS granularity, repeated back
+# to kernel units) bounds the slab-test prepass that used to grow
 # linearly with chunks x rays (~1.3 s/call at 1M tris, 262k rays).
+# The swept path is therefore FUNCTIONAL to ~8M tris; whether it BEATS
+# the per-lane BVH pointer walk past this default is an on-chip
+# question (ladder step 25, scripts/ucb_bigscene.py) - raise via
+# TPU_RT_BRUTE_MAX once measured, never by guess.
 BRUTE_FORCE_MAX_TRIS = 524288
+
+
+def _brute_max() -> int:
+    """Routing cap for the swept path, env-overridable at TRACE time
+    (like every TPU_RT_* gate: flipping it inside a process needs the
+    jit caches cleared - tests use the conftest `trace_env` fixture)."""
+    return int(os.environ.get("TPU_RT_BRUTE_MAX", "0")) \
+        or BRUTE_FORCE_MAX_TRIS
 
 
 def _trace_brute_xla(tri_planes, ray_o, ray_d, t_min, t_max, active=None):
@@ -101,7 +114,7 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
     """
     is_comp = isinstance(ray_o, tuple)
     if is_comp and not (not scene.instanced
-                        and scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS
+                        and scene.tri_planes.shape[2] <= _brute_max()
                         and _use_pallas()):
         # non-component consumers (instanced kernel, CPU fallbacks, BVH
         # walk) take the packed form; one stack at the boundary
@@ -119,7 +132,7 @@ def scene_trace(scene, ray_o, ray_d, t_min, t_max, any_hit=False, active=None,
             scene.tri_planes, scene.unit_inst, scene.unit_group,
             scene.inst_affine_inv, ray_o, ray_d, t_min, t_max,
             any_hit=any_hit, active=active, grp=scene.inst_grp)
-    if scene.tri_planes.shape[2] <= BRUTE_FORCE_MAX_TRIS:
+    if scene.tri_planes.shape[2] <= _brute_max():
         if _use_pallas():
             return pallas_trace.trace_brute_pallas(
                 scene.tri_planes, scene.chunk_aabb, ray_o, ray_d, t_min,
