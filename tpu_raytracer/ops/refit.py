@@ -20,6 +20,7 @@ every frame inside the render step (BASELINE.md config 4).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +71,21 @@ def update_instances(scene, transforms, changed=None, repack=False):
         return morton_reorder(full)
     if changed is not None:
         return _update_changed(scene, transforms, tuple(sorted(changed)))
+    return _update_full(scene, jnp.asarray(transforms, jnp.float32))
+
+
+@jax.jit
+def _update_full(scene, transforms):
+    """Whole-scene refit, ONE jitted dispatch per frame.
+
+    Jitting matters beyond fusion: run eagerly, the `_refit_boxes`
+    fori_loop re-traces per call with fresh closure constants
+    (`jnp.maximum(scene.bvh_left, 0)` makes a new array each call), so
+    XLA recompiled the level scan EVERY frame (~0.4 s/frame on CPU;
+    over the axon tunnel a remote compile + dozens of eager-op RTTs) -
+    exactly the per-frame cost config 4 pays. Under jit the trace is
+    cached on scene SHAPE (CompiledScene's meta fields are static), so
+    steady-state frames are a single cached dispatch."""
     a, t, nm = _affine(transforms)
     inst = scene.tri_inst                      # [T]
     a_t = a[inst]                              # [T, 3, 3]
@@ -228,8 +244,15 @@ def _update_changed(scene, transforms, changed):
             guard,
         )
     sel, local, sub_inst, rows, _guard = _CHANGED_CACHE[key]
+    return _changed_device(scene, jnp.asarray(transforms, jnp.float32),
+                           sel, local, sub_inst, rows, changed)
 
-    tf_all = jnp.asarray(transforms, jnp.float32)
+
+@functools.partial(jax.jit, static_argnames=("changed",))
+def _changed_device(scene, tf_all, sel, local, sub_inst, rows, changed):
+    """Device half of the changed-instance refit - ONE jitted dispatch
+    (see `_update_full` for why eager refit recompiled every frame);
+    `changed` is static so the per-changed-set index constants fold."""
     tf = tf_all[jnp.asarray(changed)]
     a, t, nm = _affine(tf)
     a_t, t_t, nm_t = a[sub_inst], t[sub_inst], nm[sub_inst]
