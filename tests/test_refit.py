@@ -186,3 +186,36 @@ def test_changed_cache_evicts_on_scene_gc_and_stays_bounded(monkeypatch):
     # their traces agree with each other (cross-served index sets from a
     # shared cache entry would corrupt one of them)
     np.testing.assert_allclose(np.asarray(t2b), np.asarray(t3b), atol=1e-5)
+
+
+def test_refit_does_not_recompile_per_frame():
+    """Per-frame refit must be ONE cached jitted dispatch (config 4 calls
+    it every fly-through frame; run eagerly the _refit_boxes fori_loop
+    re-traced with fresh closure constants and XLA recompiled its scan
+    EVERY frame - ~0.4 s/frame on CPU, a remote compile per frame over
+    the axon tunnel)."""
+    scene = _two_box_scene([0.0, -0.5, 0.0])
+    base = np.asarray(scene.inst_transform)
+
+    def tf(i):
+        out = base.copy()
+        out[1] = (translation([0.1 * i, -0.2, 0.0]) @ scale(0.5))[:3, :4]
+        return jnp.asarray(out)
+
+    # warm both paths, then snapshot cache sizes
+    s_full = refit.update_instances(scene, tf(0))
+    refit.update_instances(scene, tf(0), changed=(1,))
+    full_n = refit._update_full._cache_size()
+    changed_n = refit._changed_device._cache_size()
+    for i in range(1, 4):
+        s_full = refit.update_instances(scene, tf(i))
+        refit.update_instances(scene, tf(i), changed=(1,))
+    assert refit._update_full._cache_size() == full_n
+    assert refit._changed_device._cache_size() == changed_n
+    # a different changed-set is a NEW static key (expected retrace)
+    refit.update_instances(scene, tf(1), changed=(0, 1))
+    assert refit._changed_device._cache_size() == changed_n + 1
+    # and the jitted path still traces correctly after the loop
+    o, d = _rays()
+    t = np.asarray(trace_api.scene_trace(s_full, o, d, 1e-3, 100.0)["t"])
+    assert np.isfinite(t).any()
