@@ -192,7 +192,6 @@ def config(n: int):
                "mrays_per_s": round(r["mrays"], 2)}
     elif n == 5:
         from tpu_raytracer.app.screenshot import denoised_screenshot
-        from tpu_raytracer.ops import gbuffer as gbuffer_ops
         from tpu_raytracer.render import camera as camera_mod
         from tpu_raytracer.render import pipeline, renderer
 
@@ -225,15 +224,13 @@ def config(n: int):
             cam.uniform(w / h, 1, scene.num_lights))
         ldr, hdr, state, aux = pipeline.render_frame(
             scene, uniform, jnp.uint32(1), state, w, h, static_ok=True)
-        gb = gbuffer_ops.unpack_gb(state["gb"])
-        jax.block_until_ready(denoised_screenshot(scene, hdr, gb, w, h))
+        jax.block_until_ready(denoised_screenshot(state["gb"], hdr, w, h))
         t0 = time.time()
         uniform = renderer.camera_to_device(
             cam.uniform(w / h, 2, scene.num_lights))
         ldr, hdr, state, aux = pipeline.render_frame(
             scene, uniform, jnp.uint32(2), state, w, h, static_ok=True)
-        gb = gbuffer_ops.unpack_gb(state["gb"])
-        den_img = denoised_screenshot(scene, hdr, gb, w, h)
+        den_img = denoised_screenshot(state["gb"], hdr, w, h)
         jax.block_until_ready(den_img)
         dt = time.time() - t0
         den = np.asarray(resolve_tonemap(den_img))

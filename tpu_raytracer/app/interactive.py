@@ -238,9 +238,8 @@ def run(cfg: RenderConfig) -> dict:
             hit_target = (cfg.target_spp > 0 and frame_count >= cfg.target_spp
                           and not auto_shot_done)
             if screenshot_requested or hit_target:
-                gb = gbuffer_ops.unpack_gb(state["gb"])
                 if cfg.denoise:
-                    img = denoised_screenshot(scene, hdr, gb, w, h,
+                    img = denoised_screenshot(state["gb"], hdr, w, h,
                                               cfg.denoise_iterations)
                 else:
                     img = jnp.clip(ldr.reshape(h, w, 3), 0.0, 1.0) ** 2.2

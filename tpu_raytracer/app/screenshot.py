@@ -17,8 +17,10 @@ import datetime
 import os
 import queue
 import threading
+import functools
 import time
 
+import jax
 import numpy as np
 
 
@@ -65,14 +67,25 @@ class ScreenshotSaver:
         self.queue.join()
 
 
-def denoised_screenshot(scene, hdr_flat, gb, width: int, height: int,
+def denoised_screenshot(gb_rows, hdr_flat, width: int, height: int,
                         iterations: int = 4):
     """Device-side denoise for the screenshot path (config 5).
 
-    Returns [H, W, 3] denoised linear HDR (still on device).
-    """
-    from ..ops import denoise
+    Takes the PACKED G-buffer rows (state["gb"]) and returns [H, W, 3]
+    denoised linear HDR (still on device). The whole unpack + a-trous
+    chain is ONE jitted dispatch: run eagerly, the 4K denoiser was
+    dozens of unfused per-op dispatches (each materializing 33 MB+
+    intermediates to HBM, each a tunnel RTT) inside config 5's timed
+    frame - same bug class as the eager refit (PERF.md r4)."""
+    return _denoised_jit(gb_rows, hdr_flat, width, height, iterations)
 
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "iterations"))
+def _denoised_jit(gb_rows, hdr_flat, width, height, iterations):
+    from ..ops import denoise, gbuffer
+
+    gb = gbuffer.unpack_gb(gb_rows)
     hdr = hdr_flat.reshape(height, width, 3)
     albedo = gb["albedo"].reshape(height, width, 3)
     octn = gb["oct_normal"].reshape(height, width, 2)
