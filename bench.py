@@ -312,6 +312,12 @@ if __name__ == "__main__":
     ap.add_argument("--tiles", type=int, default=0,
                     help="run the headline sharded over N devices")
     args = ap.parse_args()
+    # measured-winner gate defaults (TUNED.json; explicit env always wins;
+    # must run before the first jit trace - gates are read at trace time)
+    from tpu_raytracer.utils.tuned import apply_tuned
+    _tuned = apply_tuned()
+    if _tuned:
+        print(f"# tuned gates: {_tuned}", file=sys.stderr)
     _backend_watchdog()
     if args.tiles:
         headline_tiled(args.tiles)

@@ -2,9 +2,11 @@
 
 from .app import interactive
 from .utils.config import parse_args
+from .utils.tuned import apply_tuned
 
 
 def main():
+    apply_tuned()   # measured-winner gate defaults; explicit env wins
     cfg = parse_args()
     interactive.run(cfg)
 
