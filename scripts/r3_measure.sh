@@ -26,7 +26,10 @@ run() {
     return
   fi
   echo "=== $name: $* ==="
-  timeout 2400 env "$@" >"/tmp/r3m/${name}.log" 2>&1
+  # TPU_RT_TUNED=0: ladder steps measure EXACTLY their explicit env set -
+  # a committed TUNED.json (scripts/r4_autoflip.py) must never leak into
+  # an A/B step, or step 00 stops meaning "committed defaults"
+  timeout 2400 env TPU_RT_TUNED=0 "$@" >"/tmp/r3m/${name}.log" 2>&1
   echo "=== $name rc=$? ==="
   if ! health; then
     echo "TUNNEL UNHEALTHY after $name $(date)" | tee /tmp/r3m/ABORTED
