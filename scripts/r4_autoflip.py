@@ -23,6 +23,11 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HEADLINE_METRIC = "cornell_restir_512x512_mrays_per_s_per_chip"
+# gates an unattended flip may NEVER adopt: tap_batch advances the
+# reservoir-update draw at the visibility test, so its RNG stream
+# diverges from the reference whenever a tap is blocked (ops/restir.py
+# tap_batch note) - a parity decision for a human, not a hook
+PARITY_UNSAFE = {"TPU_RT_TAP_BATCH"}
 
 
 def parse_step_envs(ladder_sh: str) -> dict:
@@ -64,6 +69,8 @@ def main():
     for path in sorted(glob.glob(os.path.join(args.dir, "[0-9]*.log"))):
         name = os.path.basename(path)[:-4]
         if name not in step_envs:
+            continue
+        if PARITY_UNSAFE & set(step_envs[name]):
             continue
         v = read_headline(path)
         if isinstance(v, (int, float)) and v > 0:

@@ -89,3 +89,15 @@ def test_autoflip_requires_baseline_step(tmp_path):
     r, out_p = _run_autoflip(tmp_path)
     assert r.returncode == 1
     assert not os.path.exists(out_p)
+
+
+def test_autoflip_never_adopts_parity_unsafe_gates(tmp_path):
+    # tap_batch diverges from the reference RNG stream under blocked
+    # taps; even a huge measured win must not be adopted unattended
+    _fake_ladder(tmp_path, {"00_headline_default": 10.0,
+                            "08_headline_tapbatch": 99.0})
+    r, out_p = _run_autoflip(tmp_path)
+    assert r.returncode == 0, r.stderr
+    out = json.load(open(out_p))
+    assert out["from_step"] == "00_headline_default"
+    assert out["env"] == {}
