@@ -206,3 +206,36 @@ def test_gather_t_mode_bit_identical(trace_env):
     for k in range(8):
         np.testing.assert_array_equal(np.asarray(pref[k]),
                                       np.asarray(pgot[k]))
+
+
+def test_denoised_screenshot_on_sharded_state():
+    """Multi-chip screenshot path: denoised_screenshot consumes the
+    band-SHARDED state["gb"] plus the replicated hdr exactly as the app
+    does under --tiles (app/interactive.py K-key / auto-shot). GSPMD must
+    produce the same image as the single-chip pipeline's screenshot."""
+    from tpu_raytracer.app.screenshot import denoised_screenshot
+
+    scene = scenes.create_cornell_box()
+    mesh = tiles.make_mesh()
+    w = h = 32
+
+    cam = camera_mod.CameraController()
+    state = tiles.shard_state(pipeline.init_state(w, h), mesh)
+    scene_r = tiles.replicate(scene, mesh)
+    render = tiles.make_render_frame_tiled(mesh, w, h)
+    uniform = tiles.replicate(
+        renderer.camera_to_device(cam.uniform(1.0, 0, scene.num_lights)),
+        mesh)
+    ldr, hdr, state, _ = render(scene_r, uniform, jnp.uint32(0), state)
+    den_tiled = np.asarray(denoised_screenshot(state["gb"], hdr, w, h))
+
+    cam1 = camera_mod.CameraController()
+    state1 = pipeline.init_state(w, h)
+    uniform1 = renderer.camera_to_device(
+        cam1.uniform(1.0, 0, scene.num_lights))
+    ldr1, hdr1, state1, _ = pipeline.render_frame(
+        scene, uniform1, jnp.uint32(0), state1, w, h)
+    den_single = np.asarray(denoised_screenshot(state1["gb"], hdr1, w, h))
+
+    assert np.isnan(den_tiled).sum() == 0
+    assert np.abs(den_tiled - den_single).max() < 1e-5
