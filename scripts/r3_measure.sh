@@ -10,6 +10,20 @@
 set -u
 cd /root/repo
 mkdir -p /tmp/r3m
+# deadline semantics: /tmp/r3m/DEADLINE (epoch secs) stops NEW steps so
+# the driver's round-end bench gets an idle chip. A deadline already in
+# the past when the ladder STARTS is stale (left over from a previous
+# round while the tunnel was down) - binding to it would skip every
+# step; ignore it instead.
+LADDER_T0=$(date +%s)
+DEADLINE=""
+if [ -f /tmp/r3m/DEADLINE ]; then
+  DEADLINE=$(cat /tmp/r3m/DEADLINE)
+  if [ "$LADDER_T0" -gt "$DEADLINE" ]; then
+    echo "stale deadline $DEADLINE ignored (ladder start $LADDER_T0)"
+    DEADLINE=""
+  fi
+fi
 health() {
   timeout 300 python -c "
 import jax, jax.numpy as jnp
@@ -18,10 +32,11 @@ print(jnp.sum(jnp.arange(8.0)).block_until_ready())" \
 }
 run() {
   local name="$1"; shift
-  # optional wall-clock deadline (epoch secs in /tmp/r3m/DEADLINE): the
-  # driver runs its own bench at round end and two processes on the chip
-  # make timings lie - stop starting new steps once past the deadline
-  if [ -f /tmp/r3m/DEADLINE ] && [ "$(date +%s)" -gt "$(cat /tmp/r3m/DEADLINE)" ]; then
+  # optional wall-clock deadline (see top): the driver runs its own
+  # bench at round end and two processes on the chip make timings lie -
+  # stop starting new steps once past a deadline that was still ahead
+  # of us when the ladder started
+  if [ -n "$DEADLINE" ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
     echo "=== $name SKIPPED (past deadline) ==="
     return
   fi
