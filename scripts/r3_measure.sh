@@ -40,6 +40,22 @@ run() {
     echo "=== $name SKIPPED (past deadline) ==="
     return
   fi
+  # blackout windows (/tmp/r3m/BLACKOUT, lines "START END" epoch secs):
+  # known driver-bench slots. Unlike the deadline, a blackout does not
+  # end the ladder - steps WAIT the window out. A step is also not
+  # started if its 2400 s timeout could still be running when the
+  # window opens (the driver's bench needs the chip idle, not merely
+  # no new launches).
+  if [ -f /tmp/r3m/BLACKOUT ]; then
+    while read -r b_start b_end; do
+      [ -n "${b_start:-}" ] && [ -n "${b_end:-}" ] || continue
+      now=$(date +%s)
+      if [ "$now" -lt "$b_end" ] && [ "$now" -ge $((b_start - 2400)) ]; then
+        echo "=== $name WAITING out driver-bench blackout ($b_start-$b_end) ==="
+        while [ "$(date +%s)" -lt "$b_end" ]; do sleep 60; done
+      fi
+    done < /tmp/r3m/BLACKOUT
+  fi
   echo "=== $name: $* ==="
   # TPU_RT_TUNED=0: ladder steps measure EXACTLY their explicit env set -
   # a committed TUNED.json (scripts/r4_autoflip.py) must never leak into
