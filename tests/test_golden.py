@@ -207,3 +207,45 @@ def test_gather_t_full_pipeline(trace_env):
     trace_env.delenv("TPU_RT_GATHER_T")
     want = _render_frames(48, 48, 2)
     assert float(np.abs(got - want).max()) == 0.0
+
+
+def _render_frames_static(w, h, frames):
+    """Like _render_frames but with the product loop's static_ok
+    eligibility (frame > 0), which TPU_RT_GB_REUSE needs to engage."""
+    scene = scenes.create_cornell_box()
+    cam = camera_mod.CameraController()
+    state = pipeline.init_state(w, h)
+    for frame in range(frames):
+        uniform = renderer.camera_to_device(
+            cam.uniform(1.0, frame, scene.num_lights))
+        ldr, hdr, state, aux = pipeline.render_frame(
+            scene, uniform, jnp.uint32(frame), state, w, h,
+            static_ok=frame > 0)
+    return np.asarray(ldr, np.float32)
+
+
+def test_adoptable_combo_full_pipeline(trace_env, monkeypatch):
+    """Ladder step 08f's EXACT env set - the widest combination
+    scripts/r4_autoflip.py may adopt unattended (mxuv2 + OHG +
+    HIST_QUAD + GATHER_T + GB_REUSE) - through the whole ReSTIR frame
+    vs committed defaults. Each gate is individually bit-identical or
+    winner-equal, but the unattended flip adopts them TOGETHER; this
+    pins the composition, not just the parts."""
+    from tpu_raytracer.ops import pallas_trace
+
+    monkeypatch.setattr(pallas_trace, "KERNEL_MODE", "mxuv2")
+    trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")
+    trace_env.setenv("TPU_RT_OHG", "1")
+    trace_env.setenv("TPU_RT_HIST_QUAD", "1")
+    trace_env.setenv("TPU_RT_GATHER_T", "1")
+    trace_env.setenv("TPU_RT_GB_REUSE", "1")
+    got = _render_frames_static(48, 48, 3)
+
+    monkeypatch.setattr(pallas_trace, "KERNEL_MODE", "mxuf2")
+    for k in ("TPU_RT_OHG", "TPU_RT_HIST_QUAD", "TPU_RT_GATHER_T",
+              "TPU_RT_GB_REUSE"):
+        trace_env.delenv(k)
+    trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")   # re-clear caches
+    want = _render_frames_static(48, 48, 3)
+    p = psnr(got, want)
+    assert p > 45.0, f"08f combo vs defaults PSNR = {p:.1f} dB"
