@@ -18,6 +18,7 @@ Cornell Box ReSTIR at 512x512, exactly-counted Mrays/s per chip
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -276,14 +277,29 @@ def config(n: int):
     print(json.dumps(out))
 
 
-def _backend_watchdog(timeout_s: float = 600.0):
-    """Emit ONE honest JSON line and exit if backend INIT hangs.
+def _fail_line(error: str) -> str:
+    return json.dumps({
+        "metric": "cornell_restir_512x512_mrays_per_s_per_chip",
+        "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+        "error": error,
+    })
 
-    The axon tunnel's claim leg can hang indefinitely when the terminal
-    is down (observed r3: >3 h); jax.devices() then never returns and
-    the driver's bench run records nothing. Init on a healthy tunnel
-    takes seconds; compiles are NOT under this timer (the watchdog is
-    disarmed as soon as a device materializes)."""
+
+def _backend_watchdog(timeout_s: float = 600.0):
+    """Emit ONE honest JSON line and exit if backend INIT hangs - then
+    re-arm for the run itself.
+
+    Two distinct axon failure modes, two timers (both observed in r3):
+    - the tunnel's claim leg hangs at init when the terminal is down
+      (>3 h observed); jax.devices() never returns. 600 s catches it -
+      healthy init takes seconds.
+    - the tunnel wedges MID-RUN after a healthy init (post-fault every
+      dispatch hangs or raises UNAVAILABLE). Compiles via the tunnel
+      legitimately take minutes on a cold cache, so this timer is much
+      longer (BENCH_WATCHDOG_S, default 3300 s > the ladder's 2400 s
+      external step timeout so it never fires first under the ladder).
+    Either way the driver records an honest error line instead of
+    nothing."""
     import os as _os
     import threading
 
@@ -291,17 +307,26 @@ def _backend_watchdog(timeout_s: float = 600.0):
 
     def _watch():
         if not done.wait(timeout_s):
-            print(json.dumps({
-                "metric": "cornell_restir_512x512_mrays_per_s_per_chip",
-                "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
-                "error": f"axon backend init exceeded {timeout_s:.0f}s "
-                         "(tunnel down) - no measurement possible",
-            }), flush=True)
+            print(_fail_line(
+                f"axon backend init exceeded {timeout_s:.0f}s "
+                "(tunnel down) - no measurement possible"), flush=True)
             _os._exit(3)
 
     threading.Thread(target=_watch, daemon=True).start()
     jax.devices()
     done.set()
+
+    run_s = float(_os.environ.get("BENCH_WATCHDOG_S", "3300"))
+
+    def _watch_run():
+        time.sleep(run_s)
+        print(_fail_line(
+            f"run exceeded {run_s:.0f}s after a healthy backend init "
+            "(tunnel wedged mid-run?) - no measurement possible"),
+            flush=True)
+        _os._exit(4)
+
+    threading.Thread(target=_watch_run, daemon=True).start()
 
 
 if __name__ == "__main__":
@@ -312,6 +337,11 @@ if __name__ == "__main__":
     ap.add_argument("--tiles", type=int, default=0,
                     help="run the headline sharded over N devices")
     args = ap.parse_args()
+    # off-chip escape hatch (tests, tunnel-down debugging): the axon
+    # plugin ignores the JAX_PLATFORMS env var, so force CPU the only
+    # way that works - the config knob, before any backend use
+    if os.environ.get("TPU_RT_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     # measured-winner gate defaults (TUNED.json; explicit env always wins;
     # must run before the first jit trace - gates are read at trace time)
     from tpu_raytracer.utils.tuned import apply_tuned
