@@ -105,11 +105,14 @@ def main():
         subprocess.run(["git", "-C", REPO, "add", args.out], check=True)
         msg = (f"Adopt measured headline winner {out['from_step']} as tuned "
                f"defaults ({out['baseline']} -> {out['value']} Mrays/s)")
+        # --only: an unattended commit must never sweep up unrelated
+        # staged files from an interrupted interactive session
         subprocess.run(["git", "-C", REPO, "commit", "-m", msg,
                         "-m", "Automated post-ladder flip "
                         "(scripts/r4_autoflip.py); env set is exactly the "
                         "measured step's, applied via utils/tuned.py "
-                        "setdefault so explicit env always wins."],
+                        "setdefault so explicit env always wins.",
+                        "--only", "--", os.path.basename(args.out)],
                        check=True)
     return 0
 
