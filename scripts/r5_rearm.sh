@@ -97,4 +97,4 @@ else
   echo "autoflip watch: RESTARTED ($(cat /tmp/r4_watch.pid))"
 fi
 
-echo "tree: $(git status --short | wc -l) dirty files (keep CLEAN: autoflip commits whatever is staged)"
+echo "tree: $(git status --short | wc -l) dirty files"
