@@ -42,30 +42,7 @@ if grep -q '^UP' /tmp/tpu_probe.log 2>/dev/null; then
 elif alive /tmp/probe.pid; then
   echo "probe: alive ($(cat /tmp/probe.pid)); last: $(grep -E '^(UP|down)' /tmp/tpu_probe.log 2>/dev/null | tail -1)"
 else
-  if [ ! -f /tmp/probe.sh ]; then
-    cat > /tmp/probe.sh <<'EOF'
-#!/bin/bash
-# TPU tunnel probe: retry backend init every ~4 min; on success write an
-# "UP" line (which releases the queued measurement ladder) and exit.
-while true; do
-  if timeout 240 python -c "
-import jax
-d = jax.devices()
-assert d and d[0].platform != 'cpu', d
-import jax.numpy as jnp
-print(float(jnp.sum(jnp.arange(8.0)).block_until_ready()))
-print('probe-ok', d[0])
-" >>/tmp/tpu_probe.log 2>&1; then
-    echo "UP $(date -u)" >> /tmp/tpu_probe.log
-    exit 0
-  else
-    echo "down $(date -u)" >> /tmp/tpu_probe.log
-  fi
-  sleep 240
-done
-EOF
-  fi
-  nohup bash /tmp/probe.sh >/dev/null 2>&1 & echo $! > /tmp/probe.pid
+  nohup bash scripts/tpu_probe.sh >/dev/null 2>&1 & echo $! > /tmp/probe.pid
   echo "probe: RESTARTED ($(cat /tmp/probe.pid))"
 fi
 
