@@ -34,6 +34,7 @@ def _measure_restir(scene, width, height, warmup, measured, move=False,
     from tpu_raytracer.ops import refit as refit_ops
     from tpu_raytracer.render import camera as camera_mod
     from tpu_raytracer.render import pipeline, renderer
+    from tpu_raytracer.utils.timing import sync_value
 
     cam = camera_mod.CameraController()
     state = pipeline.init_state(width, height)
@@ -58,7 +59,11 @@ def _measure_restir(scene, width, height, warmup, measured, move=False,
             static_ok=static_ok)
         frame_count += 1
         if i == warmup - 1:
-            jax.block_until_ready(ldr)
+            # VALUE-anchored boundary: block_until_ready can return
+            # before the dispatch executes on this tunnel (jax 0.9 -
+            # utils/timing.py r4 fact), so both window edges fetch a
+            # reduction to host instead
+            sync_value(ldr)
             t0 = time.time()
         elif i >= warmup:
             # keep the exact per-frame ray counter as a DEVICE scalar: a
@@ -68,7 +73,7 @@ def _measure_restir(scene, width, height, warmup, measured, move=False,
             # product behavior - app/interactive.py reads telemetry a
             # frame late for the same reason)
             ray_counts.append(aux["rays"])
-    jax.block_until_ready(ldr)
+    sync_value(ldr)
     dt = time.time() - t0
     total_rays = sum(float(x) for x in ray_counts)
     return {"fps": measured / dt, "mrays": total_rays / dt / 1e6,
@@ -98,6 +103,7 @@ def headline_tiled(n_tiles: int):
     from tpu_raytracer.parallel import tiles
     from tpu_raytracer.render import camera as camera_mod
     from tpu_raytracer.render import pipeline, renderer
+    from tpu_raytracer.utils.timing import sync_value
 
     devs = jax.devices()
     if len(devs) < n_tiles:
@@ -118,11 +124,11 @@ def headline_tiled(n_tiles: int):
         ldr, hdr, state, aux = render(scene, uniform, jnp.uint32(i), state,
                                       static_ok=i > 0)
         if i == warmup - 1:
-            jax.block_until_ready(ldr)
+            sync_value(ldr)        # value-anchored (utils/timing.py)
             t0 = time.time()
         elif i >= warmup:
             total_rays += float(aux["rays"])
-    jax.block_until_ready(ldr)
+    sync_value(ldr)
     dt = time.time() - t0
     print(json.dumps({
         "metric": f"cornell_restir_512x512_mrays_per_s_{n_tiles}tiles",
@@ -134,6 +140,7 @@ def headline_tiled(n_tiles: int):
 
 def config(n: int):
     from tpu_raytracer.models import scenes
+    from tpu_raytracer.utils.timing import sync_value
 
     if n == 1:
         from tpu_raytracer.render import camera as camera_mod
@@ -151,9 +158,9 @@ def config(n: int):
             accum, rad = renderer.render_progressive(
                 scene, uniform, jnp.uint32(f), accum, w, h)
             if f == 1:
-                accum.block_until_ready()
+                sync_value(accum)  # value-anchored (utils/timing.py)
                 t0 = time.time()
-        accum.block_until_ready()
+        sync_value(accum)
         dt = time.time() - t0
         out = {"config": 1, "fps_1spp_progressive": round((frames - 2) / dt, 2),
                "resolution": "512x512"}
@@ -212,7 +219,7 @@ def config(n: int):
                     cam.uniform(w / h, 0, scene.num_lights))
                 ldr, hdr, state, aux = pipeline.render_frame(
                     scene, uniform, jnp.uint32(0), state, w, h)
-                jax.block_until_ready(ldr)
+                sync_value(ldr)    # also forces a real OOM to surface
                 res_note = f"{w}x{h}"
                 break
             except Exception as e:  # noqa: BLE001 - HBM OOM
@@ -225,14 +232,14 @@ def config(n: int):
             cam.uniform(w / h, 1, scene.num_lights))
         ldr, hdr, state, aux = pipeline.render_frame(
             scene, uniform, jnp.uint32(1), state, w, h, static_ok=True)
-        jax.block_until_ready(denoised_screenshot(state["gb"], hdr, w, h))
+        sync_value(denoised_screenshot(state["gb"], hdr, w, h))
         t0 = time.time()
         uniform = renderer.camera_to_device(
             cam.uniform(w / h, 2, scene.num_lights))
         ldr, hdr, state, aux = pipeline.render_frame(
             scene, uniform, jnp.uint32(2), state, w, h, static_ok=True)
         den_img = denoised_screenshot(state["gb"], hdr, w, h)
-        jax.block_until_ready(den_img)
+        sync_value(den_img)
         dt = time.time() - t0
         den = np.asarray(resolve_tonemap(den_img))
         # quality AT THE RENDERED RESOLUTION: PSNR of the 3-spp denoised

@@ -40,6 +40,15 @@ run() {
     echo "=== $name SKIPPED (past deadline) ==="
     return
   fi
+  # graceful stop: killing a python mid-dispatch wedges the tunnel at
+  # the claim leg (r4), so an operator stops the ladder BETWEEN steps
+  # with `touch /tmp/r3m/STOP` - never by killing the running step
+  if [ -f /tmp/r3m/STOP ]; then
+    echo "=== $name STOPPED (operator /tmp/r3m/STOP) ==="
+    echo "STOPPED by operator $(date)" | tee /tmp/r3m/ABORTED
+    summary
+    exit 0
+  fi
   # blackout windows (/tmp/r3m/BLACKOUT, lines "START END" epoch secs):
   # known driver-bench slots. Unlike the deadline, a blackout does not
   # end the ladder - steps WAIT the window out. A step is also not

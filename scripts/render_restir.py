@@ -7,6 +7,8 @@ import time
 sys.path.insert(0, ".")
 
 import numpy as np
+
+from tpu_raytracer.utils.timing import sync_value
 import jax
 import jax.numpy as jnp
 
@@ -58,12 +60,12 @@ def main():
             scene, uniform, jnp.uint32(frame), state, w, h,
             static_ok=frame > 0)
         if frame == 0:
-            ldr.block_until_ready()
+            sync_value(ldr)
             print(f"first frame (compile): {time.time()-t0:.1f}s")
             t0 = time.time()
         else:
             total_rays += float(aux["rays"])
-    ldr.block_until_ready()
+    sync_value(ldr)
     n = max(args.frames - 1, 1)
     dt = time.time() - t0
     print(f"{n} frames in {dt:.3f}s = {n/dt:.2f} fps @ {w}x{h}, "

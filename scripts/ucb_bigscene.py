@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_raytracer.utils.timing import sync_value
+
 
 def build_scene():
     from tpu_raytracer.models.scenes import PI
@@ -48,13 +50,13 @@ def build_scene():
 
 def _time(fn, args, chain, n=6):
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync_value(out)
     a = args
     t0 = time.time()
     for _ in range(n):
         out = fn(*a)
         a = chain(a, out)
-    jax.block_until_ready(out)
+    sync_value(out)
     return (time.time() - t0) / n * 1e3, out
 
 

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_raytracer.utils.timing import sync_value
+
 
 def main():
     from tpu_raytracer.models import scenes
@@ -42,7 +44,7 @@ def main():
             kernel=m)["t"])
         try:
             out = fn(ro, rd)
-            jax.block_until_ready(out)
+            sync_value(out)        # value-anchored (utils/timing.py)
         except Exception as e:
             print(f"{mode:6s} FAILED: {type(e).__name__}")
             continue
@@ -52,7 +54,7 @@ def main():
         for _ in range(iters):
             out = fn(o, rd)
             o = o + out[:1] * 1e-9
-        jax.block_until_ready(out)
+        sync_value(out)
         dt = (time.time() - t0) / iters * 1e3
         tt = np.asarray(out)
         if base is None:

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_raytracer.utils.timing import sync_value
+
 
 def build_scene(big=False):
     from tpu_raytracer.models.scenes import PI
@@ -61,7 +63,7 @@ def main():
                 kernel=m)["t"])
             try:
                 out = fn(ro, rd)
-                jax.block_until_ready(out)
+                sync_value(out)
             except Exception as e:
                 print(f"  {mode} FAILED: {type(e).__name__}: {str(e)[:120]}")
                 continue
@@ -70,7 +72,7 @@ def main():
             for _ in range(8):
                 out = fn(o, rd)
                 o = o + jnp.minimum(jnp.abs(out[:1]), 10.0) * 1e-9
-            jax.block_until_ready(out)
+            sync_value(out)
             dt = (time.time() - t0) / 8 * 1e3
             tt = np.asarray(out)
             if base is None:
@@ -87,13 +89,13 @@ def main():
                 scene.tri_planes, scene.chunk_aabb, o, d, 1e-3, 2.0,
                 any_hit=True, kernel="mxuf2")["tri"] >= 0)
         hit = fn_any(ro, rd)
-        jax.block_until_ready(hit)
+        sync_value(hit)
         o = ro
         t0 = time.time()
         for _ in range(8):
             hit = fn_any(o, rd)
             o = o + jnp.where(hit[:1], 1e-9, 2e-9)
-        jax.block_until_ready(hit)
+        sync_value(hit)
         dt = (time.time() - t0) / 8 * 1e3
         print(f"  anyhit {dt:8.2f} ms  occluded={float(hit.mean()):.3f}")
 

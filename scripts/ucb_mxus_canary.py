@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_raytracer.utils.timing import sync_value
+
 
 def build_scene():
     from tpu_raytracer.models.scenes import PI
@@ -78,7 +80,7 @@ def main():
             any_hit=any_hit, kernel=mode,
             coef48=scene.coef48, coef48_grp=scene.coef48_grp))
         out = fn(jnp.asarray(o), jnp.asarray(d))
-        jax.block_until_ready(out)
+        sync_value(out)
         return out
 
     ok = True

@@ -20,6 +20,8 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
+from tpu_raytracer.utils.timing import sync_value
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -83,13 +85,16 @@ def main():
 
     for f in range(3):
         scene, ldr, state = step(scene, f, state)
-    jax.block_until_ready(ldr)
+    sync_value(ldr)               # value-anchored (utils/timing.py)
 
     shutil.rmtree("/tmp/rt_trace", ignore_errors=True)
     with jax.profiler.trace("/tmp/rt_trace"):
         for f in range(3, 3 + args.frames):
             scene, ldr, state = step(scene, f, state)
-        jax.block_until_ready(ldr)
+        # the profiler context must stay open until the work has REALLY
+        # run (block_until_ready returns early on this tunnel - a trace
+        # closed on it records a truncated timeline)
+        sync_value(ldr)
 
     path = sorted(glob.glob("/tmp/rt_trace/**/*.trace.json.gz",
                             recursive=True))[-1]

@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_raytracer.ops.pallas_trace import _interpret
+
 
 def pack_table_np(columns: list) -> np.ndarray:
     """Stack host columns [T] -> [T, C] f32. Int columns stored as FLOATS
@@ -112,7 +114,7 @@ def onehot_gather(table_hi, table_lo, idx):
     idx_p = jnp.zeros((rp,), jnp.int32).at[:r].set(
         jnp.clip(idx.astype(jnp.int32), 0, tp - 1))
 
-    if jax.default_backend() != "tpu":
+    if _interpret():
         out = (table_hi.astype(jnp.float32)[idx_p]
                + table_lo.astype(jnp.float32)[idx_p])
         return out[:r]
@@ -193,7 +195,7 @@ def onehot_gather_cols(table, idx):
     out = pl.pallas_call(
         kernel,
         grid=(rp // OGC_BR,),
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((1, OGC_BR), lambda b: (0, b),
                          memory_space=pltpu.VMEM),

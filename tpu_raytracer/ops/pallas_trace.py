@@ -140,6 +140,21 @@ _MT_EPS = 1e-9
 #   "vpu"  - the original all-VPU elementwise sweep (exact f32).
 KERNEL_MODE = os.environ.get("TPU_RT_KERNEL", "mxuf2")
 
+
+def _interpret() -> bool:
+    """TPU compiles via Mosaic; other backends run the Pallas interpreter.
+
+    TPU_RT_LOWER_MOSAIC=1 forces interpret=False so a CPU host can
+    cross-LOWER every kernel for platform "tpu" (AOT `.lower()`), which
+    runs Mosaic's full MLIR verification without a chip —
+    tests/test_mosaic_lowering.py catches toolchain regressions (e.g.
+    jax 0.9 rejecting f32 tpu.iota) off-chip. EXECUTING on CPU with it
+    set would fail; it is a lowering-only switch.
+    """
+    if os.environ.get("TPU_RT_LOWER_MOSAIC", "0") == "1":
+        return False
+    return jax.default_backend() != "tpu"
+
 GROUP = 8                      # chunks per K=128 block-diagonal dot
 # coef VMEM for mxuw is 256 B/tri; stay well inside the 16 MB VMEM
 MXUW_MAX_TP = 48 * 1024
@@ -487,7 +502,10 @@ def _mt_kernel_mxuv(count_ref, list_ref, entry_ref, rays_ref, coef_ref,
     if early:
         done_ref[0] = jnp.int32(0)
 
-    col_iota = jax.lax.broadcasted_iota(jnp.float32, (BR, CT), 1)
+    # int iota + convert: Mosaic (jax>=0.9) verifies tpu.iota as
+    # integer-only; a direct f32 broadcasted_iota fails lowering.
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (BR, CT), 1).astype(
+        jnp.float32)
 
     @pl.when(n_live > 0)
     def _():
@@ -817,7 +835,9 @@ def _mt_kernel_mxus(count_ref, list_ref, entry_ref, rays_ref, coef_hbm,
     def _():
         start_copy(0, 0)
 
-    col_iota = jax.lax.broadcasted_iota(jnp.float32, (BR, CT), 1)
+    # int iota + convert (Mosaic jax>=0.9 rejects f32 iota; see mxuv)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (BR, CT), 1).astype(
+        jnp.float32)
 
     def sweep_cols_mat(prod, g):
         for k in range(grp):
@@ -1432,7 +1452,7 @@ def trace_brute_pallas(tri_planes, chunk_aabb, ray_o, ray_d, t_min, t_max,
         kern = functools.partial(
             _mt_kernel_mxui, num_chunks=num_chunks, any_hit=any_hit,
             grp=grp)
-        interpret = jax.default_backend() != "tpu"
+        interpret = _interpret()
         t, idx = pl.pallas_call(
             kern,
             grid=(nb,),
@@ -1677,7 +1697,7 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
         grp = _mode_grp(mode)
         cols = grp * 4 * CT
         tri_arg = _coef48_or(coef48, coef48_grp, tri_planes, grp)
-        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)   # stays in HBM
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)      # stays in HBM
         matrix_best = (not any_hit
                        and os.environ.get("TPU_RT_MXUS_V", "0") == "1"
                        and _mxus_matrix_best_ok(grp))
@@ -1732,7 +1752,7 @@ def _run_kernel(rays, tri_planes, counts, chunk_list, entry_list, r, rp, nb,
                                    any_hit=any_hit, use_worklist=use_worklist)
     # CPU backend (tests / multi-chip dry runs on virtual devices) runs the
     # kernel in the Pallas interpreter; TPU compiles via Mosaic.
-    interpret = jax.default_backend() != "tpu"
+    interpret = _interpret()
     t, idx = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -2089,7 +2109,7 @@ def trace_instanced_pallas(obj_planes, obj_gaabb, inst_affine_inv,
             else mt_coef48(obj_planes, group=grp))
     kern = functools.partial(_mt_kernel_inst, num_inst=n_inst,
                              any_hit=any_hit, grp=grp)
-    interpret = jax.default_backend() != "tpu"
+    interpret = _interpret()
     t, idx, inst = pl.pallas_call(
         kern,
         grid=(nb,),
