@@ -104,12 +104,21 @@ def main():
     names = {e["pid"]: e["args"].get("name", "") for e in ev
              if e.get("ph") == "M" and e.get("name") == "process_name"}
     dur = collections.Counter()
+    n_exec = 0
     for e in ev:
         if e.get("ph") == "X" and "dur" in e \
                 and "TPU" in names.get(e.get("pid"), ""):
             dur[e["name"]] += e["dur"]
-    n = args.frames
-    print(f"per-frame device ms over {n} frames ({args.scene} {w}x{h}):")
+            if e["name"].startswith("jit_render_frame"):
+                n_exec += 1
+    # r4 fact: the trace frequently records only SOME of the dispatched
+    # module executions (1 of 8 observed) - dividing by the REQUESTED
+    # frame count silently produced a 3x-too-fast fantasy profile (the
+    # "295 ms frame" that was really 885 ms). Divide by the number of
+    # module executions actually present in the trace.
+    n = max(n_exec, 1)
+    print(f"per-frame device ms over {n} RECORDED frame executions "
+          f"(requested {args.frames}; {args.scene} {w}x{h}):")
     for name, d in dur.most_common(args.top):
         print(f"{d / 1e3 / n:10.2f} ms  {name[:90]}")
 

@@ -106,20 +106,28 @@ class BandView:
 
     def read_cols_x2(self, gy, gx):
         """Columns of the TWO horizontally-adjacent texels (gy, gx) and
-        (gy, gx+1) in ONE gather.
+        (gy, gx+1) in ONE visited row per lane.
 
-        Horizontally-adjacent texels are adjacent flat rows, so a
-        slice_sizes=(2, C) gather visits one row per lane where two
-        `read_cols` calls visit two - and TPU gathers cost ~15 ns per
-        visited row regardless of width (PERF.md). This is the bilinear
-        history read's x-pair (post.wgsl:180-228 analogue) at half price.
+        Horizontally-adjacent texels are adjacent flat rows; a pair-packed
+        copy of the view ([self | x+1] rows, one dense roll + concat)
+        turns the x-pair into ONE single-row gather where two `read_cols`
+        calls visit two rows - and TPU gathers cost ~15 ns per visited row
+        regardless of width (PERF.md). This is the bilinear history read's
+        x-pair (post.wgsl:180-228 analogue) at half price.
+
+        r4 toolchain note: the original formulation asked the gather
+        itself for the pair (slice_sizes=(2, C)); jax 0.9's XLA:TPU
+        lowers any multi-ROW slice gather as a SERIAL per-lane while loop
+        (~1.3 us/lane - 340 ms per call at 512^2, 2.6x the whole rest of
+        the frame; PERF.md r4). Only single-row slices lower natively, so
+        the packing moved into a dense pre-pass.
 
         Returns (cols0, cols1, valid0, valid1). Edge semantics match two
         independent reads exactly: the 2-texel window anchors at
         clip(gx, 0, width-2) and per-texel offsets into the window
-        re-select the right row, so every texel the masks report VALID
-        carries the value read() would return (a texel whose own gx is
-        outside the image stays masked, as read() reports it).
+        re-select the right column block, so every texel the masks report
+        VALID carries the value read() would return (a texel whose own gx
+        is outside the image stays masked, as read() reports it).
         """
         if self.width < 2:
             c0, v0 = self.read_cols(gy, gx)
@@ -134,13 +142,12 @@ class BandView:
         start = local_row * self.width + base
         off0 = jnp.clip(gx - base, 0, 1)      # 1 only when gx == width-1
         off1 = jnp.clip(gx + 1 - base, 0, 1)  # 0 only when gx == -1
-        out = jax.lax.gather(
-            self.data, start[:, None],
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1, 2), collapsed_slice_dims=(),
-                start_index_map=(0,)),
-            slice_sizes=(2, c))                    # [R, 2, C]
-        flat = _transpose_cols(out.reshape(-1, 2 * c))   # 2C dense [R]s
+        # row r -> [row r | row r+1]; the roll wrap (last flat row -> row 0)
+        # is never selected: base <= width-2 keeps r+1 inside the same
+        # image row, and the cover clamp keeps r inside the band.
+        pair = jnp.concatenate(
+            [self.data, jnp.roll(self.data, -1, axis=0)], axis=-1)
+        flat = _gather_cols(pair, start)                 # 2C dense [R]s
         cols0 = [jnp.where(off0 == 1, flat[c + k], flat[k])
                  for k in range(c)]
         cols1 = [jnp.where(off1 == 0, flat[k], flat[c + k])
