@@ -167,9 +167,17 @@ def _onehot_cols_kernel(idx_ref, hi_ref, mid_ref, lo_ref, out_ref, *, t):
     oh = (lanes == idx[:, None]).astype(jnp.bfloat16)      # [BR, T] in VMEM
 
     def dt(tab_ref):
+        # precision must be DEFAULT like every in-kernel bf16 dot: the
+        # package forces jax_default_matmul_precision=highest, and jax
+        # 0.9 Mosaic rejects contract_precision<fp32> on bf16 operands
+        # ("Bad lhs type" at backend compile - AFTER verification, so
+        # test_mosaic_lowering can't see it). bf16 x one-hot-bf16 into
+        # f32 is exact regardless: one nonzero per one-hot row, and a
+        # bf16 product (<=16 mantissa bits) is representable in f32.
         return jax.lax.dot_general(
             tab_ref[:], oh, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [C, BR]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # [C, BR]
 
     # one nonzero per one-hot row and an exact 3-way split => the f32
     # accumulation reconstructs the table value bit-exactly
