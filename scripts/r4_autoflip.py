@@ -62,9 +62,12 @@ def main():
     ap.add_argument("--margin", type=float, default=0.02)
     ap.add_argument("--no-commit", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "TUNED.json"))
+    ap.add_argument("--ladder",
+                    default=os.path.join(REPO, "scripts/r5_measure.sh"),
+                    help="ladder script whose step names define env sets")
     args = ap.parse_args()
 
-    step_envs = parse_step_envs(os.path.join(REPO, "scripts/r3_measure.sh"))
+    step_envs = parse_step_envs(args.ladder)
     results = {}
     for path in sorted(glob.glob(os.path.join(args.dir, "[0-9]*.log"))):
         name = os.path.basename(path)[:-4]

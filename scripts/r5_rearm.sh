@@ -56,7 +56,7 @@ elif [ -f /tmp/r3m_started ]; then
   echo "ladder: STARTED but runner is dead and no DONE/ABORTED marker -"
   echo "        inspect /tmp/r3m/ladder.log before relaunching by hand."
 else
-  nohup bash -c 'while ! grep -q "^UP" /tmp/tpu_probe.log 2>/dev/null; do sleep 30; done; touch /tmp/r3m_started; bash /root/repo/scripts/r4_measure.sh >> /tmp/r3m/ladder.log 2>&1' \
+  nohup bash -c 'while ! grep -q "^UP" /tmp/tpu_probe.log 2>/dev/null; do sleep 30; done; touch /tmp/r3m_started; bash /root/repo/scripts/r5_measure.sh >> /tmp/r3m/ladder.log 2>&1' \
     >/dev/null 2>&1 & echo $! > /tmp/ladder.pid
   echo "ladder: RESTARTED ($(cat /tmp/ladder.pid))"
 fi

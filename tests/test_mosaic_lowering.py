@@ -124,14 +124,11 @@ def test_instanced_kernel_lowers(trace_env):
 
 
 def test_onehot_gather_kernels_lower(trace_env):
-    """The OHG VMEM one-hot fetch kernels (ops/gather.py)."""
+    """The OHG VMEM one-hot fetch kernel (ops/gather.py)."""
     trace_env.setenv("TPU_RT_LOWER_MOSAIC", "1")
     rng = np.random.default_rng(7)
     table = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
-    hi = table.astype(jnp.bfloat16)
-    lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     idx = jnp.asarray(rng.integers(0, 256, 512).astype(np.int32))
-    _lower_tpu(lambda h, l, i: gather.onehot_gather(h, l, i), hi, lo, idx)
     _lower_tpu(lambda t, i: gather.onehot_gather_cols(t, i), table, idx)
 
 

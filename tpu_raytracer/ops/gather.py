@@ -7,10 +7,10 @@ random table lookups are reformulated as ONE-HOT MATMULS:
   * `select_gather`  - tiny tables (materials, lights, mesh infos; M <= 64):
     a plain XLA one-hot [R, M] @ table [M, C] matmul. With the framework's
     "highest" matmul precision this is exact f32 and costs microseconds.
-  * `onehot_gather`  - mid tables (per-triangle shading rows, T <= ~64k):
-    Pallas kernel, one-hot built in VMEM (never touches HBM), table split
-    into bf16 hi/lo halves so two bf16 MXU passes reconstruct exact f32:
-        hi = bf16(x); lo = bf16(x - f32(hi));  x == f32(hi) + f32(lo).
+  * `onehot_gather_cols` - mid tables (per-triangle shading rows,
+    T <= ~64k): Pallas kernel, one-hot built in VMEM (never touches HBM),
+    table split into three bf16 parts so three bf16 MXU passes
+    reconstruct exact f32 (split_exact3).
 
 Integer columns ride along bitcast to f32 through `pack_table` /
 `int_rows` (bitcasts survive the hi/lo trick only if values fit f32's
@@ -67,75 +67,6 @@ def select_gather_cols(table, idx):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)           # [C, R]
     return [out[k] for k in range(c)]
-
-
-# ---------------------------------------------------------------------------
-# Pallas one-hot gather for mid-size tables
-# ---------------------------------------------------------------------------
-
-OG_BR = 512      # rays per block
-
-
-def split_hilo(table: np.ndarray):
-    """[T, C] f32 -> (hi, lo) bf16 with hi + lo == table exactly in f32."""
-    t32 = np.asarray(table, np.float32)
-    hi = t32.astype(jnp.bfloat16)
-    lo = (t32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
-    return np.asarray(hi), np.asarray(lo)
-
-
-GROUPS_PER_BLOCK = 8
-
-
-def _onehot_kernel(idx_ref, hi_ref, lo_ref, out_ref, *, t, c):
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (OG_BR, t), 1)
-    for s in range(GROUPS_PER_BLOCK):
-        idx = idx_ref[s, :]                                 # [BR]
-        oh = (lanes == idx[:, None]).astype(jnp.bfloat16)   # [BR, T] in VMEM
-        acc = jax.lax.dot_general(
-            oh, hi_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            oh, lo_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out_ref[s * OG_BR:(s + 1) * OG_BR, :] = acc
-
-
-def onehot_gather(table_hi, table_lo, idx):
-    """Gather rows: tables [Tp, C] bf16 (hi/lo), idx [R] i32 -> [R, C] f32.
-
-    Tp and C should be multiples of 128 for MXU efficiency (pad host-side
-    with `pad_table`). Callers mask lanes with invalid idx (clamped to 0).
-    """
-    tp, c = table_hi.shape
-    r = idx.shape[0]
-    block_rays = OG_BR * GROUPS_PER_BLOCK
-    rp = max(((r + block_rays - 1) // block_rays) * block_rays, block_rays)
-    idx_p = jnp.zeros((rp,), jnp.int32).at[:r].set(
-        jnp.clip(idx.astype(jnp.int32), 0, tp - 1))
-
-    if _interpret():
-        out = (table_hi.astype(jnp.float32)[idx_p]
-               + table_lo.astype(jnp.float32)[idx_p])
-        return out[:r]
-
-    kernel = functools.partial(_onehot_kernel, t=tp, c=c)
-    out = pl.pallas_call(
-        kernel,
-        grid=(rp // block_rays,),
-        in_specs=[
-            pl.BlockSpec((GROUPS_PER_BLOCK, OG_BR), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tp, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tp, c), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rays, c), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rp, c), jnp.float32),
-    )(idx_p.reshape(rp // block_rays, GROUPS_PER_BLOCK, OG_BR
-                    ).reshape(-1, OG_BR),
-      table_hi, table_lo)
-    return out[:r]
 
 
 # ---------------------------------------------------------------------------
