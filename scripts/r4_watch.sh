@@ -12,3 +12,4 @@ done
 echo "ladder finished $(date -u); running autoflip"
 python scripts/r4_autoflip.py
 echo "autoflip rc=$?"
+touch /tmp/r3m/AUTOFLIPPED

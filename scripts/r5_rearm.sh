@@ -62,8 +62,10 @@ else
 fi
 
 # --- autoflip watch: waits for DONE/ABORTED, then commits TUNED.json.
-if git log --oneline -20 | grep -qi 'TUNED.json' && [ -f TUNED.json ]; then
-  echo "autoflip: TUNED.json already committed"
+# Round-local marker only - a previous round's TUNED.json commit in the
+# log must not suppress this round's flip (r5: it did).
+if [ -f /tmp/r3m/AUTOFLIPPED ]; then
+  echo "autoflip: already ran this round"
 elif alive /tmp/r4_watch.pid; then
   echo "autoflip watch: alive ($(cat /tmp/r4_watch.pid))"
 elif [ -f /tmp/r3m/DONE ] || [ -f /tmp/r3m/ABORTED ]; then
