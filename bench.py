@@ -207,18 +207,31 @@ def config(n: int):
         from tpu_raytracer.utils.image import psnr
 
         scene = scenes.create_cornell_box()
-        # true 4K (the r3 component-major wavefront removed the 128-lane
-        # padding of narrow per-ray arrays that used to OOM the 15.75 GB
-        # HBM); the 1440p fallback remains only as a safety net.
+        # true 4K. jax 0.9's XLA:TPU scheduler cannot hold the whole
+        # 3840x2160 frame as one program (22 GB of copy/prefetch temps
+        # vs 15.75 GB HBM - the r4 regression), so huge frames render
+        # as sequential row-band programs (pipeline.render_frame_banded,
+        # bit-identical to render_frame); the 1440p fallback remains
+        # only as a safety net.
         res_note = "3840x2160"
         for w, h in ((3840, 2160), (2560, 1440)):
+            bands = pipeline.auto_bands(w, h)
+
+            def render(scene_, u, fc, st, static_ok=False):
+                if bands > 1:
+                    return pipeline.render_frame_banded(
+                        scene_, u, fc, st, w, h, bands,
+                        static_ok=static_ok)
+                return pipeline.render_frame(scene_, u, fc, st, w, h,
+                                             static_ok=static_ok)
+
             try:
                 cam = camera_mod.CameraController()
                 state = pipeline.init_state(w, h)
                 uniform = renderer.camera_to_device(
                     cam.uniform(w / h, 0, scene.num_lights))
-                ldr, hdr, state, aux = pipeline.render_frame(
-                    scene, uniform, jnp.uint32(0), state, w, h)
+                ldr, hdr, state, aux = render(
+                    scene, uniform, jnp.uint32(0), state)
                 sync_value(ldr)    # also forces a real OOM to surface
                 res_note = f"{w}x{h}"
                 break
@@ -226,18 +239,20 @@ def config(n: int):
                 print(f"# config 5: {w}x{h} failed "
                       f"({type(e).__name__}); retrying smaller",
                       file=sys.stderr)
+        print(f"# config 5: {res_note} in {bands} row bands",
+              file=sys.stderr)
         # warm the static_ok variant + the denoiser so the timed frame
         # measures steady-state work, not tunnel compiles
         uniform = renderer.camera_to_device(
             cam.uniform(w / h, 1, scene.num_lights))
-        ldr, hdr, state, aux = pipeline.render_frame(
-            scene, uniform, jnp.uint32(1), state, w, h, static_ok=True)
+        ldr, hdr, state, aux = render(
+            scene, uniform, jnp.uint32(1), state, static_ok=True)
         sync_value(denoised_screenshot(state["gb"], hdr, w, h))
         t0 = time.time()
         uniform = renderer.camera_to_device(
             cam.uniform(w / h, 2, scene.num_lights))
-        ldr, hdr, state, aux = pipeline.render_frame(
-            scene, uniform, jnp.uint32(2), state, w, h, static_ok=True)
+        ldr, hdr, state, aux = render(
+            scene, uniform, jnp.uint32(2), state, static_ok=True)
         den_img = denoised_screenshot(state["gb"], hdr, w, h)
         sync_value(den_img)
         dt = time.time() - t0
@@ -249,8 +264,8 @@ def config(n: int):
         for f in range(3, 32):
             uq = renderer.camera_to_device(
                 cam.uniform(w / h, f, scene.num_lights))
-            ldr, hdr, state, _ = pipeline.render_frame(
-                scene, uq, jnp.uint32(f), state, w, h, static_ok=True)
+            ldr, hdr, state, _ = render(
+                scene, uq, jnp.uint32(f), state, static_ok=True)
         ref = np.asarray(resolve_tonemap(state["accum"].reshape(h, w, 3)))
         q = psnr(den, ref)
         out = {"config": 5, "resolution": res_note,

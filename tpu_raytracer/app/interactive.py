@@ -144,9 +144,22 @@ def run(cfg: RenderConfig) -> dict:
     else:
         render_fn = None
     if render_fn is None:
-        def render_fn(scene, camera, fc, state, static_ok=False):
-            return pipeline.render_frame(scene, camera, fc, state, w, h,
-                                         static_ok=static_ok)
+        # Huge single-chip frames (true 4K) cannot be scheduled as ONE
+        # XLA program under jax 0.9 (copy/prefetch temp OOM, PERF.md r4);
+        # render them as sequential row-band programs - bit-identical.
+        bands = pipeline.auto_bands(w, h)
+        if bands > 1:
+            print(f"# {w}x{h} exceeds the one-program budget; rendering "
+                  f"in {bands} sequential row bands", file=sys.stderr)
+
+            def render_fn(scene, camera, fc, state, static_ok=False):
+                return pipeline.render_frame_banded(
+                    scene, camera, fc, state, w, h, bands,
+                    static_ok=static_ok)
+        else:
+            def render_fn(scene, camera, fc, state, static_ok=False):
+                return pipeline.render_frame(scene, camera, fc, state, w, h,
+                                             static_ok=static_ok)
 
     if cfg.checkpoint and os.path.exists(cfg.checkpoint):
         st, frame_count, cam_state = checkpoint.load(cfg.checkpoint)
