@@ -28,6 +28,11 @@ HEADLINE_METRIC = "cornell_restir_512x512_mrays_per_s_per_chip"
 # diverges from the reference whenever a tap is blocked (ops/restir.py
 # tap_batch note) - a parity decision for a human, not a hook
 PARITY_UNSAFE = {"TPU_RT_TAP_BATCH"}
+# gates the Mrays/s comparator CANNOT judge: GB_REUSE skips the primary
+# sweep's rays on static frames, so rays/s PENALIZES a wall-clock win
+# (r4: 12.69 Mrays but 4.77 fps vs 4.60). The honest comparator there is
+# fps - reported for a human, excluded from unattended Mrays adoption.
+RAYS_METRIC_INVALID = {"TPU_RT_GB_REUSE"}
 
 
 def parse_step_envs(ladder_sh: str) -> dict:
@@ -43,7 +48,7 @@ def parse_step_envs(ladder_sh: str) -> dict:
 
 
 def read_headline(path: str):
-    value = None
+    value, fps = None, None
     for line in open(path, errors="replace"):
         line = line.strip()
         if line.startswith("{") and HEADLINE_METRIC in line:
@@ -53,7 +58,8 @@ def read_headline(path: str):
                 continue
             if js.get("metric") == HEADLINE_METRIC:
                 value = js.get("value")
-    return value
+                fps = js.get("detail", {}).get("fps")
+    return value, fps
 
 
 def main():
@@ -68,16 +74,23 @@ def main():
     args = ap.parse_args()
 
     step_envs = parse_step_envs(args.ladder)
-    results = {}
+    results, fps_only = {}, {}
     for path in sorted(glob.glob(os.path.join(args.dir, "[0-9]*.log"))):
         name = os.path.basename(path)[:-4]
         if name not in step_envs:
             continue
         if PARITY_UNSAFE & set(step_envs[name]):
             continue
-        v = read_headline(path)
-        if isinstance(v, (int, float)) and v > 0:
-            results[name] = float(v)
+        v, fps = read_headline(path)
+        if not (isinstance(v, (int, float)) and v > 0):
+            continue
+        if RAYS_METRIC_INVALID & set(step_envs[name]):
+            fps_only[name] = (float(v), fps)   # human decision, fps-based
+            continue
+        results[name] = float(v)
+    for name, (v, fps) in sorted(fps_only.items()):
+        print(f"  [fps-comparator only] {name}: {v} Mrays/s, {fps} fps "
+              f"(ray-skipping gate - not adoptable on Mrays/s)")
     if "00_headline_default" not in results:
         print("no committed-defaults headline measurement; not flipping")
         return 1
