@@ -92,19 +92,6 @@ def _render_frames(w, h, frames):
     return np.asarray(ldr, np.float32)
 
 
-def test_ohg_full_pipeline(trace_env):
-    """TPU_RT_OHG=1 (VMEM Pallas one-hot winner-row fetch) through the
-    WHOLE ReSTIR frame must reproduce the default path - the fetch is an
-    exact 3-way bf16 split, so the image should be unchanged. Protects
-    the on-chip A/B (ladder steps 04/05) with end-to-end coverage."""
-    trace_env.setenv("TPU_RT_OHG", "1")
-    got = _render_frames(48, 48, 3)
-    trace_env.delenv("TPU_RT_OHG")
-    want = _render_frames(48, 48, 3)
-    p = psnr(got, want)
-    assert p > 45.0, f"OHG vs default PSNR = {p:.1f} dB"
-
-
 def test_mxuv_full_pipeline(trace_env, monkeypatch):
     """The mxuv2 selection-free closest-hit through the WHOLE ReSTIR
     frame must reproduce the default (mxuf2) path - winners agree up to
@@ -225,24 +212,23 @@ def _render_frames_static(w, h, frames):
 
 
 def test_adoptable_combo_full_pipeline(trace_env, monkeypatch):
-    """Ladder step 08f's EXACT env set - the widest combination
-    scripts/r4_autoflip.py may adopt unattended (mxuv2 + OHG +
-    HIST_QUAD + GATHER_T + GB_REUSE) - through the whole ReSTIR frame
-    vs committed defaults. Each gate is individually bit-identical or
-    winner-equal, but the unattended flip adopts them TOGETHER; this
-    pins the composition, not just the parts."""
+    """The widest combination scripts/r4_autoflip.py may adopt
+    unattended (mxuv2 + HIST_QUAD + GATHER_T + GB_REUSE; OHG was
+    deleted after losing its on-chip A/Bs) through the whole ReSTIR
+    frame vs committed defaults. Each gate is individually
+    bit-identical or winner-equal, but the unattended flip adopts them
+    TOGETHER; this pins the composition, not just the parts."""
     from tpu_raytracer.ops import pallas_trace
 
     monkeypatch.setattr(pallas_trace, "KERNEL_MODE", "mxuv2")
     trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")
-    trace_env.setenv("TPU_RT_OHG", "1")
     trace_env.setenv("TPU_RT_HIST_QUAD", "1")
     trace_env.setenv("TPU_RT_GATHER_T", "1")
     trace_env.setenv("TPU_RT_GB_REUSE", "1")
     got = _render_frames_static(48, 48, 3)
 
     monkeypatch.setattr(pallas_trace, "KERNEL_MODE", "mxuf2")
-    for k in ("TPU_RT_OHG", "TPU_RT_HIST_QUAD", "TPU_RT_GATHER_T",
+    for k in ("TPU_RT_HIST_QUAD", "TPU_RT_GATHER_T",
               "TPU_RT_GB_REUSE"):
         trace_env.delenv(k)
     trace_env.setenv("TPU_RT_FORCE_PALLAS", "1")   # re-clear caches

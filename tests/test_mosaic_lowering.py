@@ -123,15 +123,6 @@ def test_instanced_kernel_lowers(trace_env):
         ro, rd)
 
 
-def test_onehot_gather_kernels_lower(trace_env):
-    """The OHG VMEM one-hot fetch kernel (ops/gather.py)."""
-    trace_env.setenv("TPU_RT_LOWER_MOSAIC", "1")
-    rng = np.random.default_rng(7)
-    table = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
-    idx = jnp.asarray(rng.integers(0, 256, 512).astype(np.int32))
-    _lower_tpu(lambda t, i: gather.onehot_gather_cols(t, i), table, idx)
-
-
 def test_full_frame_lowers(trace_env):
     """The WHOLE ReSTIR frame (every kernel a real frame dispatches,
     plus all its XLA glue) must lower for TPU. This is the off-chip

@@ -27,15 +27,11 @@ import jax.numpy as jnp
 
 from ..utils import vec3
 from ..utils.vec3 import V3
-from .gather import onehot_gather_cols, select_gather_cols
+from .gather import select_gather_cols
 
 # transient [M, R] f32 one-hot footprint allowed for the winner-row fetch
 # (2 GB; at 262k rays that admits tables up to 2048 rows)
 ONEHOT_BUDGET_BYTES = 1 << 31
-
-# rows cap for the VMEM-resident Pallas one-hot (3x [T, C] bf16 tables +
-# one [512, T] one-hot per block stay well inside VMEM)
-PALLAS_ONEHOT_MAX_ROWS = 8192
 
 
 def fetch_cols(table, idx):
@@ -45,17 +41,16 @@ def fetch_cols(table, idx):
     [C, R] with the ray axis minor, so every component is a free dense
     slice (vs 7.2 ms for gather + XLA column slices at 262k rays x 1.3k
     rows - the column slices are a T(8,128) -> T(1024) layout transpose
-    XLA lowers poorly; scripts/ucb_cols.py). TPU_RT_OHG=1 keeps the
-    one-hot in VMEM (Pallas kernel, exact 3-way bf16 split) instead of
-    materializing the [M, R] f32 one-hot in HBM (~3.1 ms HBM-bound at
-    1.4k x 262k). Tables too large fall back to the native row gather
-    plus ONE tiled transpose, keeping the major-dim slices free."""
+    XLA lowers poorly; scripts/ucb_cols.py). Tables too large fall back
+    to the native row gather plus ONE tiled transpose, keeping the
+    major-dim slices free.
+
+    A VMEM-resident Pallas one-hot variant (TPU_RT_OHG) was built and
+    measured in r4/r5 and LOSES to this HBM f32 one-hot at real table
+    sizes (12.37 vs 13.46 alone; 12.97 vs 14.44 under mxuv2) - deleted,
+    negative result recorded in PERF.md."""
     m, c = table.shape
     r = idx.shape[0]
-    if (m <= PALLAS_ONEHOT_MAX_ROWS
-            and os.environ.get("TPU_RT_OHG", "0") == "1"):
-        out = onehot_gather_cols(table, idx)
-        return [out[k] for k in range(c)]
     if m * r * 4 <= ONEHOT_BUDGET_BYTES:
         return select_gather_cols(table, idx)
     rt = table[idx].T                                  # [C, R], R minor
