@@ -69,11 +69,16 @@ def main():
     ap.add_argument("--no-commit", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "TUNED.json"))
     ap.add_argument("--ladder",
-                    default=os.path.join(REPO, "scripts/r5_measure.sh"),
-                    help="ladder script whose step names define env sets")
+                    default=(os.path.join(REPO, "scripts/r5_measure.sh") + ","
+                             + os.path.join(REPO, "scripts/r5b_measure.sh")),
+                    help="comma-separated ladder scripts whose step names "
+                         "define env sets")
     args = ap.parse_args()
 
-    step_envs = parse_step_envs(args.ladder)
+    step_envs = {}
+    for ladder in args.ladder.split(","):
+        if os.path.exists(ladder):
+            step_envs.update(parse_step_envs(ladder))
     results, fps_only = {}, {}
     for path in sorted(glob.glob(os.path.join(args.dir, "[0-9]*.log"))):
         name = os.path.basename(path)[:-4]

@@ -46,8 +46,14 @@ run() {
     exit 1
   fi
 }
-run 00_headline_default       python bench.py
+# BR2048+mxuv2 won BOTH comparators (15.08 Mrays, 5.16 fps); these test
+# whether the other individual winners compose on top of it.
+run 28_headline_br2048_mxuv_gbreuse TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv2 TPU_RT_GB_REUSE=1 python bench.py
+run 29_headline_br2048_mxuv_hq_gt   TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv2 TPU_RT_HIST_QUAD=1 TPU_RT_GATHER_T=1 python bench.py
+run 26_config5_4k_banded      TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv2 python bench.py --config 5
+# config 6/7 ran committed defaults in r5_measure; confirm the tuned
+# gates don't regress the dense/instanced workloads before shipping.
+run 19b_config6_tuned         TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv2 python bench.py --config 6
 run 27_headline_tuned         env TPU_RT_TUNED=1 python bench.py
-run 26_config5_4k_banded      TPU_RT_KERNEL=mxuv2 python bench.py --config 5
 run 20_gallery_knot           python scripts/render_restir.py --scene knot --size 256 --frames 32 --out gallery/dense_knot_textured.png
 echo "R5B DONE $(date)" | tee /tmp/r3m/DONE_B
