@@ -34,11 +34,15 @@ def _use_pallas() -> bool:
 # (union-AABB prepass at TPU_RT_CULL_UNITS granularity, repeated back
 # to kernel units) bounds the slab-test prepass that used to grow
 # linearly with chunks x rays (~1.3 s/call at 1M tris, 262k rays).
-# The swept path is therefore FUNCTIONAL to ~8M tris; whether it BEATS
-# the per-lane BVH pointer walk past this default is an on-chip
-# question (ladder step 25, scripts/ucb_bigscene.py) - raise via
-# TPU_RT_BRUTE_MAX once measured, never by guess.
-BRUTE_FORCE_MAX_TRIS = 524288
+# The swept path is therefore FUNCTIONAL to ~8M tris. MEASURED (r5,
+# ladder step 25, scripts/ucb_bigscene.py, one v5e at 983k tris, 262k
+# rays): coarse-culled sweep 1.94/1.90 s vs BVH walk 11.9/8.0 s per
+# call (incoherent/coherent) - the sweep wins 4-6x at ~1M tris, so the
+# routing cap sits at 2M (the last measured point plus the sweep's
+# sublinear growth; beyond that is extrapolation - re-run
+# ucb_bigscene.py at the target size and set TPU_RT_BRUTE_MAX before
+# trusting it further out).
+BRUTE_FORCE_MAX_TRIS = 2 * 1024 * 1024
 
 
 def _brute_max() -> int:
