@@ -32,9 +32,14 @@ import jax.numpy as jnp
 def _measure_restir(scene, width, height, warmup, measured, move=False,
                     refit_transforms=None, refit_changed=None):
     from tpu_raytracer.ops import refit as refit_ops
+    from tpu_raytracer.ops.pallas_trace import maybe_cap_stream_br
     from tpu_raytracer.render import camera as camera_mod
     from tpu_raytracer.render import pipeline, renderer
     from tpu_raytracer.utils.timing import sync_value
+
+    # beyond-VMEM scenes cap a TUNED block size at the streamed route's
+    # own measured optimum (PERF.md r5, config 6 regression)
+    maybe_cap_stream_br(scene.tri_planes.shape[2])
 
     cam = camera_mod.CameraController()
     state = pipeline.init_state(width, height)

@@ -1,5 +1,7 @@
 """`python -m tpu_raytracer` - the interactive app entry point (main.rs)."""
 
+import os
+
 from .app import interactive
 from .utils.config import parse_args
 from .utils.tuned import apply_tuned
@@ -7,6 +9,14 @@ from .utils.tuned import apply_tuned
 
 def main():
     apply_tuned()   # measured-winner gate defaults; explicit env wins
+    # APP-only adoption of the G-buffer reuse gate (VERDICT r4 item 8):
+    # bit-identical image, measured +2.7% wall-clock on top of the tuned
+    # config (5.30 vs 5.16 fps, r5 step 28). It stays OUT of TUNED.json
+    # because it skips the primary sweep's rays on static frames, and
+    # the driver headline is rays-based - adopting it there would make
+    # Mrays/s under-report a wall-clock win (PERF.md comparator note).
+    # The app's product metric is wall-clock, so it ships here.
+    os.environ.setdefault("TPU_RT_GB_REUSE", "1")
     cfg = parse_args()
     interactive.run(cfg)
 

@@ -122,6 +122,10 @@ def run(cfg: RenderConfig) -> dict:
     """Run the interactive loop; returns final telemetry."""
     w, h = cfg.width, cfg.height
     scene = load_scene(cfg.scene)
+    # workload-aware gate guard: beyond-VMEM scenes cap a TUNED block
+    # size at the streamed route's own measured optimum (PERF.md r5)
+    from ..ops.pallas_trace import maybe_cap_stream_br
+    maybe_cap_stream_br(scene.tri_planes.shape[2])
     cam = camera_mod.CameraController()
     state = pipeline.init_state(w, h)
     frame_count = 0

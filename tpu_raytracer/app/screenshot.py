@@ -76,8 +76,34 @@ def denoised_screenshot(gb_rows, hdr_flat, width: int, height: int,
     chain is ONE jitted dispatch: run eagerly, the 4K denoiser was
     dozens of unfused per-op dispatches (each materializing 33 MB+
     intermediates to HBM, each a tunnel RTT) inside config 5's timed
-    frame - same bug class as the eager refit (PERF.md r4)."""
+    frame - same bug class as the eager refit (PERF.md r4).
+
+    HUGE frames (true 4K) cannot be scheduled as one program under jax
+    0.9 (22 GB copy/prefetch temps vs 15.75 GB HBM) - they route through
+    the bit-identical sequential row-band a-trous
+    (ops/denoise.atrous_denoise_banded), like the frame pipeline."""
+    from ..render.pipeline import auto_bands
+
+    n_bands = auto_bands(width, height)
+    if n_bands > 1 and height % n_bands == 0:
+        from ..ops import denoise
+
+        gb_img = _unpack_img_jit(gb_rows, hdr_flat, width, height)
+        return denoise.atrous_denoise_banded(
+            gb_img["hdr"], gb_img["albedo"], gb_img["octn"], gb_img["pos"],
+            iterations, n_bands)
     return _denoised_jit(gb_rows, hdr_flat, width, height, iterations)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _unpack_img_jit(gb_rows, hdr_flat, width, height):
+    from ..ops import gbuffer
+
+    gb = gbuffer.unpack_gb(gb_rows)
+    return {"hdr": hdr_flat.reshape(height, width, 3),
+            "albedo": gb["albedo"].reshape(height, width, 3),
+            "octn": gb["oct_normal"].reshape(height, width, 2),
+            "pos": gb["pos"].reshape(height, width, 3)}
 
 
 @functools.partial(jax.jit,

@@ -61,6 +61,37 @@ def _mxus_grp() -> int:
     return max(1, (512 * 8) // BR)
 
 
+# Measured streamed-route block size (r5 step 19b): BR=2048 halves the
+# streamed kernel's group width through the VMEM envelope and config 6
+# dropped 0.70 -> 0.506 fps; the VMEM-resident path's tuned BR=2048 is
+# NOT the streamed path's optimum.
+STREAM_BR_CAP = 1024
+
+
+def maybe_cap_stream_br(tp: int) -> None:
+    """Workload-aware block-size guard - call BEFORE the first trace of a
+    scene (the app and bench do, after scene build).
+
+    If the scene routes to the HBM-streamed kernel (beyond VMEM
+    residency) and the current block size came from TUNED.json (not an
+    explicit user env - utils/tuned.APPLIED distinguishes), cap it at
+    the streamed route's own measured optimum. Safe pre-trace only:
+    kernels resolve the BR global at trace time, and ray padding uses
+    the same global, so later traces key on different shapes.
+    """
+    global BR
+    if tp <= MXUF_MAX_TP or BR <= STREAM_BR_CAP:
+        return
+    from ..utils import tuned
+    if "TPU_RT_BR" not in tuned.APPLIED:
+        return          # user explicitly chose this BR - respect it
+    print(f"tpu_raytracer: beyond-VMEM scene ({tp} tri slots): capping "
+          f"tuned block size {BR} -> {STREAM_BR_CAP} for the streamed "
+          "route (measured: config 6 regresses at BR=2048; PERF.md r5)",
+          file=sys.stderr)
+    BR = STREAM_BR_CAP
+
+
 _VMEM_CAP_WARNED: set = set()
 
 

@@ -28,6 +28,12 @@ import os
 
 _ALLOWED_PREFIX = "TPU_RT_"
 
+# Keys apply_tuned actually set this process (vs explicit user env).
+# Workload-aware guards consult this: a TUNED default may be overridden
+# per scene class (pallas_trace.maybe_cap_stream_br), an explicit user
+# env never is.
+APPLIED: dict = {}
+
 
 def apply_tuned(path: str | None = None) -> dict:
     """setdefault the TUNED.json env set; returns what was applied."""
@@ -47,4 +53,16 @@ def apply_tuned(path: str | None = None) -> dict:
             continue
         if os.environ.setdefault(k, str(v)) == str(v):
             applied[k] = str(v)
+    APPLIED.update(applied)
+    if "TPU_RT_BR" in applied:
+        # The block-rays module constant is read at pallas_trace IMPORT;
+        # entry points that import the package before calling apply_tuned
+        # (the app: `from .app import interactive` runs first) would
+        # silently keep the default - sync it so TUNED BR always lands.
+        # (Kernels resolve the global at TRACE time, so this is safe
+        # before the first trace.)
+        import sys
+        m = sys.modules.get("tpu_raytracer.ops.pallas_trace")
+        if m is not None:
+            m.BR = int(os.environ["TPU_RT_BR"])
     return applied
