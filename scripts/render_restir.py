@@ -48,6 +48,14 @@ def main():
 
     w = h = args.size
     cam = camera_mod.CameraController()
+    # showcase framing: the glTF scenes place the model ~1.2 above the
+    # floor (scenes.py model_transform); the default fly-camera start
+    # (0,0,3) frames only the floor there. Per-scene start pose, exactly
+    # what a user of the reference viewer would fly to.
+    if args.scene in ("knot", "helmet", "vrm", "truffle", "avocado",
+                      "gallery"):
+        cam.position = np.array([0.0, 2.6, 3.2], np.float32)
+        cam.pitch = -0.38
     state = pipeline.init_state(w, h)
 
     t0 = time.time()

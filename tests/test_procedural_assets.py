@@ -5,6 +5,7 @@ DamagedHelmet, the VRM avatar, the gift-wrapped chocolate) must render a
 REAL loaded asset through the product glTF path - never silently fall
 back to the empty floor+light scene (VERDICT r3 item 7)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -120,3 +121,50 @@ def test_truffle_renders_end_to_end():
     img = np.asarray(ldr)
     assert np.isfinite(img).all()
     assert img.max() > 0.01, "black frame from the truffle showcase"
+
+
+def test_winding_matches_normals_all_procedural_meshes():
+    """Triangle winding must agree with the outward vertex normals for
+    EVERY procedural asset mesh: cross(v1-v0, v2-v0) . vertex_normal > 0.
+
+    The front-face flip (reconstruct_hit's ffnormal, the reference's MT
+    sign convention) trusts the winding; inverted winding flips every
+    shading normal and the model renders black - exactly the r5 dense-
+    knot showcase bug (its tube quads were emitted clockwise)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from tpu_raytracer.models import procedural_assets as pa
+    from tpu_raytracer.models.dense_asset import write_knot_glb
+    from tpu_raytracer.scene import loader
+    from tpu_raytracer.utils import vec3
+
+    def check(tag, m):
+        pos = m.positions
+        dec = vec3.oct_decode(jnp.asarray(m.oct_normals[:, 0]),
+                              jnp.asarray(m.oct_normals[:, 1]))
+        nrm = np.stack([np.asarray(dec.x), np.asarray(dec.y),
+                        np.asarray(dec.z)], -1)
+        tri = m.indices.reshape(-1, 3).astype(np.int64)
+        v0, v1, v2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
+        g = np.cross(v1 - v0, v2 - v0)
+        gl = np.linalg.norm(g, axis=-1, keepdims=True)
+        ok = gl[:, 0] > 1e-12
+        g = g[ok] / gl[ok]
+        vn = (nrm[tri[:, 0]] + nrm[tri[:, 1]] + nrm[tri[:, 2]])[ok] / 3.0
+        frac = (np.sum(g * vn, -1) > 0).mean()
+        assert frac > 0.99, f"{tag}: {1 - frac:.1%} triangles wound inside-out"
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "knot.glb")
+        write_knot_glb(p, major=60, minor=24)
+        meshes, _, _, _ = loader.load_gltf(p)
+        check("dense_knot", meshes[0])
+        for wname in ("write_avocado_glb", "write_helmet_glb",
+                      "write_truffle_glb", "write_figure_glb"):
+            p = os.path.join(td, wname + ".glb")
+            getattr(pa, wname)(p)
+            meshes, _, _, _ = loader.load_gltf(p)
+            for k, m in enumerate(meshes):
+                check(f"{wname}[{k}]", m)

@@ -80,9 +80,15 @@ def knot_mesh(major: int = 420, minor: int = 120, tube_r: float = 0.22):
     b2 = vid(ii + 1, jj)
     cq = vid(ii + 1, jj + 1)
     d2 = vid(ii, jj + 1)
+    # winding ORDER MATTERS: cross(v1-v0, v2-v0) must agree with the
+    # outward ring normals - the front-face flip (reconstruct_hit
+    # ffnormal, MT sign convention exactly like the reference's
+    # ray_query) otherwise inverts EVERY shading normal and the knot
+    # renders black (r5 showcase bug; pinned by
+    # tests/test_procedural_assets.py::test_winding_matches_normals).
     tris = np.concatenate([
-        np.stack([a, b2, cq], axis=-1).reshape(-1, 3),
-        np.stack([a, cq, d2], axis=-1).reshape(-1, 3),
+        np.stack([a, cq, b2], axis=-1).reshape(-1, 3),
+        np.stack([a, d2, cq], axis=-1).reshape(-1, 3),
     ], axis=0)
     return (pos.reshape(-1, 3).astype(np.float32),
             nrm.reshape(-1, 3).astype(np.float32),
@@ -223,8 +229,25 @@ def write_knot_glb(path: str = DEFAULT_PATH, major: int = 420,
     return path
 
 
+# Bumped when the generator's OUTPUT changes (v2: outward winding fix);
+# a cached .glb from an older generator is stale and regenerates.
+ASSET_VERSION = 2
+
+
+def _version_path(path: str) -> str:
+    return path + ".version"
+
+
 def ensure_dense_asset(path: str = DEFAULT_PATH) -> str:
-    """Generate the asset if missing; returns the path."""
-    if not os.path.exists(path):
+    """Generate the asset if missing or generator-stale; returns the path."""
+    vp = _version_path(path)
+    try:
+        cached = int(open(vp).read().strip())
+    except (OSError, ValueError):
+        cached = 0
+    if not os.path.exists(path) or cached != ASSET_VERSION:
         write_knot_glb(path)
+        os.makedirs(os.path.dirname(vp), exist_ok=True)
+        with open(vp, "w") as f:
+            f.write(str(ASSET_VERSION))
     return path
