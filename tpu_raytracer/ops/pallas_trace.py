@@ -1156,7 +1156,18 @@ def _split_bf16(x):
 def _split_bf16_kernel(x):
     """In-kernel split: Mosaic neither elides the convert round-trip nor
     lowers `reduce_precision`, so the naive form is both safe and the
-    only option inside Pallas kernels."""
+    only option inside Pallas kernels.
+
+    INTERPRET mode however runs the kernel body through XLA, which DOES
+    fold the naive f32->bf16->f32 round-trip (zeroing the lo term - the
+    r2 pitfall) and silently degraded interpret-mode sweeps to a 1-pass
+    bf16 window (~7% t error on grazing hits; caught by the r5 canary
+    CPU repro, ray 994). Interpret uses reduce_precision so CPU kernel
+    tests carry the REAL 3-pass numerics."""
+    if _interpret():
+        hi_f32 = jax.lax.reduce_precision(x, exponent_bits=8,
+                                          mantissa_bits=7)
+        return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
