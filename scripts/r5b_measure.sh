@@ -55,5 +55,10 @@ run 26_config5_4k_banded      TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv2 python bench.py
 # gates don't regress the dense/instanced workloads before shipping.
 run 19b_config6_tuned         TPU_RT_BR=2048 TPU_RT_KERNEL=mxuv2 python bench.py --config 6
 run 27_headline_tuned         env TPU_RT_TUNED=1 python bench.py
+# BR escalation tail: at BR=4096 the envelope admits only grp-1
+# scratch-free kernels (mxuv falls to mxuf1); probes whether the
+# program-floor amortization continues past 2048.
+run 11_headline_br4096_mxuf1  TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 python bench.py
+run 11b_headline_br4096_hq_gt TPU_RT_BR=4096 TPU_RT_KERNEL=mxuf1 TPU_RT_HIST_QUAD=1 TPU_RT_GATHER_T=1 python bench.py
 run 20_gallery_knot           python scripts/render_restir.py --scene knot --size 256 --frames 32 --out gallery/dense_knot_textured.png
 echo "R5B DONE $(date)" | tee /tmp/r3m/DONE_B
