@@ -25,15 +25,26 @@ def test_tuned_br_capped_for_streamed_scene(monkeypatch):
     assert pallas_trace.BR == pallas_trace.STREAM_BR_CAP
 
 
+def test_tuned_br_capped_for_dense_vmem_scene(monkeypatch):
+    # bunny-class: VMEM-resident but past the wide-dot chunk threshold
+    # (config 3 measured 1.36 fps at BR1024 vs 1.26 at 2048)
+    _with_br(monkeypatch, 2048, tuned_applied=True)
+    pallas_trace.maybe_cap_stream_br(
+        (pallas_trace.DENSE_CHUNKS + 1) * pallas_trace.CT)
+    assert pallas_trace.BR == pallas_trace.STREAM_BR_CAP
+
+
 def test_explicit_br_respected(monkeypatch):
     _with_br(monkeypatch, 2048, tuned_applied=False)
     pallas_trace.maybe_cap_stream_br(pallas_trace.MXUF_MAX_TP + 128)
     assert pallas_trace.BR == 2048
 
 
-def test_vmem_resident_scene_untouched(monkeypatch):
+def test_sparse_scene_untouched(monkeypatch):
+    # Cornell-class (11 chunks): the headline's own BR=2048 must survive
     _with_br(monkeypatch, 2048, tuned_applied=True)
-    pallas_trace.maybe_cap_stream_br(pallas_trace.MXUF_MAX_TP)
+    pallas_trace.maybe_cap_stream_br(
+        pallas_trace.DENSE_CHUNKS * pallas_trace.CT)
     assert pallas_trace.BR == 2048
 
 

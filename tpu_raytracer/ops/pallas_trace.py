@@ -66,29 +66,35 @@ def _mxus_grp() -> int:
 # dropped 0.70 -> 0.506 fps; the VMEM-resident path's tuned BR=2048 is
 # NOT the streamed path's optimum.
 STREAM_BR_CAP = 1024
+# chunk count above which a VMEM-resident scene counts as DENSE (the
+# same threshold the kernel auto-group uses for wide dots); dense
+# scenes need the group width BR=2048 takes away - measured: config 3
+# (bunny, 121 chunks) 1.36 -> 1.26 fps, config 6 (streamed knot)
+# 0.342 -> 0.233 under the headline-tuned BR=2048.
+DENSE_CHUNKS = 48
 
 
 def maybe_cap_stream_br(tp: int) -> None:
     """Workload-aware block-size guard - call BEFORE the first trace of a
     scene (the app and bench do, after scene build).
 
-    If the scene routes to the HBM-streamed kernel (beyond VMEM
-    residency) and the current block size came from TUNED.json (not an
-    explicit user env - utils/tuned.APPLIED distinguishes), cap it at
-    the streamed route's own measured optimum. Safe pre-trace only:
-    kernels resolve the BR global at trace time, and ray padding uses
-    the same global, so later traces key on different shapes.
+    If the scene is DENSE - beyond VMEM residency (streamed route), or
+    VMEM-resident with more chunks than the wide-dot threshold - and the
+    current block size came from TUNED.json (not an explicit user env -
+    utils/tuned.APPLIED distinguishes), cap it at the dense-scene
+    measured optimum. Safe pre-trace only: kernels resolve the BR global
+    at trace time, and ray padding uses the same global, so later traces
+    key on different shapes.
     """
     global BR
-    if tp <= MXUF_MAX_TP or BR <= STREAM_BR_CAP:
+    if tp // CT <= DENSE_CHUNKS or BR <= STREAM_BR_CAP:
         return
     from ..utils import tuned
     if "TPU_RT_BR" not in tuned.APPLIED:
         return          # user explicitly chose this BR - respect it
-    print(f"tpu_raytracer: beyond-VMEM scene ({tp} tri slots): capping "
-          f"tuned block size {BR} -> {STREAM_BR_CAP} for the streamed "
-          "route (measured: config 6 regresses at BR=2048; PERF.md r5)",
-          file=sys.stderr)
+    print(f"tpu_raytracer: dense scene ({tp} tri slots): capping tuned "
+          f"block size {BR} -> {STREAM_BR_CAP} (measured: configs 3/6 "
+          "regress at BR=2048; PERF.md r5)", file=sys.stderr)
     BR = STREAM_BR_CAP
 
 
