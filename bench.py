@@ -39,7 +39,8 @@ def _measure_restir(scene, width, height, warmup, measured, move=False,
 
     # beyond-VMEM scenes cap a TUNED block size at the streamed route's
     # own measured optimum (PERF.md r5, config 6 regression)
-    maybe_cap_stream_br(scene.tri_planes.shape[2])
+    maybe_cap_stream_br(scene.tri_planes.shape[2],
+                        instanced=bool(scene.instanced))
 
     cam = camera_mod.CameraController()
     state = pipeline.init_state(width, height)

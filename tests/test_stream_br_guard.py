@@ -62,3 +62,11 @@ def test_apply_tuned_syncs_imported_pallas_trace(tmp_path, monkeypatch):
     assert pallas_trace.BR == 2048          # synced despite prior import
     assert "TPU_RT_BR" in tuned.APPLIED
     monkeypatch.delenv("TPU_RT_BR", raising=False)
+
+
+def test_tuned_br_capped_for_instanced_scene(monkeypatch):
+    # gallery-class: small object-space table but instanced sweeps
+    # (config 7 measured 0.461 fps at BR1024 vs 0.326 at tuned 2048)
+    _with_br(monkeypatch, 2048, tuned_applied=True)
+    pallas_trace.maybe_cap_stream_br(40 * pallas_trace.CT, instanced=True)
+    assert pallas_trace.BR == pallas_trace.STREAM_BR_CAP

@@ -125,7 +125,8 @@ def run(cfg: RenderConfig) -> dict:
     # workload-aware gate guard: beyond-VMEM scenes cap a TUNED block
     # size at the streamed route's own measured optimum (PERF.md r5)
     from ..ops.pallas_trace import maybe_cap_stream_br
-    maybe_cap_stream_br(scene.tri_planes.shape[2])
+    maybe_cap_stream_br(scene.tri_planes.shape[2],
+                        instanced=bool(scene.instanced))
     cam = camera_mod.CameraController()
     state = pipeline.init_state(w, h)
     frame_count = 0

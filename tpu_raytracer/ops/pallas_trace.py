@@ -74,7 +74,7 @@ STREAM_BR_CAP = 1024
 DENSE_CHUNKS = 48
 
 
-def maybe_cap_stream_br(tp: int) -> None:
+def maybe_cap_stream_br(tp: int, instanced: bool = False) -> None:
     """Workload-aware block-size guard - call BEFORE the first trace of a
     scene (the app and bench do, after scene build).
 
@@ -87,7 +87,11 @@ def maybe_cap_stream_br(tp: int) -> None:
     key on different shapes.
     """
     global BR
-    if tp // CT <= DENSE_CHUNKS or BR <= STREAM_BR_CAP:
+    # instanced scenes: the per-instance object-space sweep has the same
+    # wide-dot economics regardless of the (small) object table - the
+    # gallery measured 0.461 fps at BR1024 defaults vs 0.326 under the
+    # tuned BR=2048 (r5 step 18c)
+    if (tp // CT <= DENSE_CHUNKS and not instanced) or BR <= STREAM_BR_CAP:
         return
     from ..utils import tuned
     if "TPU_RT_BR" not in tuned.APPLIED:
